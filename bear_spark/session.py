@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode notes: one JVM, N executor threads; `spark.driver.memory` is
+the only memory knob. Shuffle partitions sized to cores, AQE on (runtime
+coalesce + skew-join splitting), Arrow on for the pandas-UDF paths,
+session timezone pinned to UTC so results compare bit-for-bit against
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bear_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "48g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``. Shuffle
+    partitions default to 2x cores (a reasonable local heuristic; on a
+    real cluster this is sized to total executor cores).
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8 if cores == "*" else int(cores)
+        shuffle_partitions = max(8, 2 * n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # files: keep partition sizing sane for both sf0.001 and 100 TB
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

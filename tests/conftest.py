@@ -1,0 +1,16 @@
+from __future__ import annotations
+
+import pytest
+
+from bear_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="bear_spark_tests",
+        cores=8,
+        shuffle_partitions=8,
+        driver_memory="8g",
+    )
+    yield s

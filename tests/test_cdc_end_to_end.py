@@ -1,0 +1,135 @@
+"""Phase 0: change-event generator → LWW MERGE into the lake table →
+final state equals the single-threaded pandas replay oracle, with
+per-turn text equality under stable (conv_id, turn_idx) ordering."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from bear_spark import oracle
+from bear_spark.events import change_events
+from bear_spark.lake import LakeTable
+from bear_spark.operators.dedup import lww_dedup_agg, lww_dedup_window
+from bear_spark.schema import KEY_COLS, TRANSCRIPT_SCHEMA
+
+N_EVENTS = 10_000
+
+
+@pytest.fixture(scope="module")
+def events_pdf(spark):
+    return change_events(spark, N_EVENTS, n_convs=60, seed=7).toPandas()
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=KEY_COLS,
+        seq_col="ts",
+        num_buckets=4,
+    )
+
+
+def _live_state(table) -> pd.DataFrame:
+    return table.read().toPandas()
+
+
+def test_generator_deterministic(spark):
+    a = change_events(spark, 1000, seed=3).toPandas().sort_values("lsn").reset_index(drop=True)
+    b = change_events(spark, 1000, seed=3).toPandas().sort_values("lsn").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["op"]) <= {"I", "U", "D"}
+    assert a["lsn"].is_unique
+
+
+def test_dedup_variants_agree(spark):
+    ev = change_events(spark, 5000, n_convs=20, seed=11)
+    a = lww_dedup_agg(ev, KEY_COLS, ["ts", "lsn"]).toPandas()
+    b = lww_dedup_window(ev, KEY_COLS, ["ts", "lsn"]).toPandas()
+    a = a.sort_values(KEY_COLS).reset_index(drop=True)
+    b = b.sort_values(KEY_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_single_merge_matches_oracle(spark, table, events_pdf):
+    ev = change_events(spark, N_EVENTS, n_convs=60, seed=7)
+    m = table.merge(ev)
+    assert not m["skipped"]
+    assert m["rows_in"] == N_EVENTS
+    expected = oracle.replay(events_pdf)
+    oracle.assert_states_equal(_live_state(table), expected)
+
+
+def test_chunked_replay_matches_oracle(spark, table, events_pdf):
+    ev = change_events(spark, N_EVENTS, n_convs=60, seed=7)
+    for lo in range(0, N_EVENTS, 2500):
+        table.merge(ev.filter((ev.lsn >= lo) & (ev.lsn < lo + 2500)))
+    expected = oracle.replay(events_pdf)
+    oracle.assert_states_equal(_live_state(table), expected)
+
+
+def test_replay_is_idempotent_and_order_insensitive(spark, table, events_pdf):
+    """Apply chunks out of order, some twice (fence off to simulate raw
+    at-least-once delivery) — LWW must still converge to the oracle."""
+    ev = change_events(spark, N_EVENTS, n_convs=60, seed=7)
+    chunks = [ev.filter((ev.lsn >= lo) & (ev.lsn < lo + 2500)) for lo in range(0, N_EVENTS, 2500)]
+    for c in [chunks[2], chunks[0], chunks[3], chunks[0], chunks[1], chunks[2]]:
+        table.merge(c, fence=False)
+    expected = oracle.replay(events_pdf)
+    oracle.assert_states_equal(_live_state(table), expected)
+
+
+def test_exactly_once_fence_skips_replayed_batch(spark, table):
+    ev = change_events(spark, 4000, n_convs=30, seed=9)
+    m1 = table.merge(ev)
+    assert m1["rows_in"] == 4000
+    m2 = table.merge(ev)  # full replay → fenced out entirely
+    assert m2["skipped"]
+    state1 = _live_state(table)
+    m3 = table.merge(ev, fence=True)
+    assert m3["skipped"]
+    oracle.assert_states_equal(
+        state1, oracle.replay(change_events(spark, 4000, n_convs=30, seed=9).toPandas())
+    )
+
+
+def test_delete_tombstone_blocks_stale_resurrection(spark, table):
+    """A delete with higher (ts,lsn) then a replayed stale update must
+    not resurrect the row."""
+    import pyspark.sql.functions as F
+
+    cols = "conv_id string, turn_idx int, role string, text string, tool string, ts string, op string, lsn long, source_partition int, offset long"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, cols).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    df = mk(
+        [
+            ("c1", 0, "user", "v1", None, "2024-01-01 00:00:01", "I", 1, 0, 0),
+            ("c1", 0, "user", "v2", None, "2024-01-01 00:00:05", "D", 5, 0, 1),
+        ]
+    )
+    table.merge(df)
+    assert table.read().count() == 0
+    # stale update (ts < delete's ts) arrives late, unfenced
+    stale = mk([("c1", 0, "user", "v1b", None, "2024-01-01 00:00:03", "U", 3, 0, 2)])
+    table.merge(stale, fence=False)
+    assert table.read().count() == 0, "tombstone must win over stale update"
+    # a genuinely newer insert resurrects
+    fresh = mk([("c1", 0, "user", "v3", None, "2024-01-01 00:00:09", "I", 9, 0, 3)])
+    table.merge(fresh, fence=False)
+    out = table.read().toPandas()
+    assert list(out["text"]) == ["v3"]
+
+
+def test_lineage_metrics_recorded(spark, table):
+    ev = change_events(spark, 3000, n_convs=20, seed=5)
+    m = table.merge(ev)
+    hist = table.history()
+    assert hist[-1]["rows_in"] == 3000
+    assert hist[-1]["rows_written"] == m["rows_written"]
+    assert m["dedup_drops"] >= 0
+    assert m["buckets_touched"] >= 1
