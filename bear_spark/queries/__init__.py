@@ -1,0 +1,41 @@
+"""Query registry: every operator exposed to the driver contract.
+
+Each entry pairs a Spark implementation ``(spark, sf_dir) -> DataFrame``
+with an equivalent DuckDB oracle SQL string (or ``None`` for genuinely
+non-SQL-expressible ops, which get a weaker rows-only check). Column
+names/aliases are kept identical on both sides because the driver's
+compare sorts columns by name before value-hashing.
+
+Float discipline: double aggregates are rounded on BOTH sides (sums of
+2-decimal inputs to 2 decimals — grid points, not midpoints, so the
+rounding is stable across engines; ratios/avgs to 4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# importing the topic modules populates the registry
+from bear_spark.queries import cdc, relational, similarity, textops, windows  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "ORACLES", "query", "t"]

@@ -1,0 +1,132 @@
+"""Vector similarity + multimodal plumbing over `embeddings`/`documents`.
+
+The reference's search path is: embed query → ANN top-k with pushed
+filters → residual distance filter → sort (reference:
+bear/search.py:51-111; HNSW/IP index is a store-side physical detail,
+reference: bear/config.py:23-35). Here the query semantics are exact
+cosine top-k via JVM array math (F.aggregate/zip_with — no Python in the
+loop); the LSH-bucketed scale path lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bear_spark.queries import query, t
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+# DuckDB twins of the dot/norm (double accumulation; with 64-dim unit-ish
+# vectors any double summation order agrees far inside the round-to-4)
+_D = "CAST({} AS DOUBLE[])"
+_DUCK_COS = (
+    f"list_dot_product({_D.format('a.embedding')}, {_D.format('b.embedding')})"
+    f" / (sqrt(list_dot_product({_D.format('a.embedding')}, {_D.format('a.embedding')}))"
+    f" * sqrt(list_dot_product({_D.format('b.embedding')}, {_D.format('b.embedding')})))"
+)
+
+
+@query(
+    "cosine_topk_query0",
+    f"""
+    SELECT a.vec_id, round({_DUCK_COS}, 4) AS cos_sim
+    FROM embeddings a JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+    ON a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+    """,
+)
+def cosine_topk_query0(spark, sf_dir):
+    """Brute-force exact cosine top-k against a fixed query vector
+    (vec_id 0) — the correctness baseline for ANN."""
+    e = t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = e.filter(F.col("vec_id") != 0)
+    joined = cand.join(F.broadcast(qvec))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    return (
+        joined.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
+    "cosine_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2, round({_DUCK_COS}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} >= 0.9
+    """,
+)
+def cosine_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup detection, blocked by label (the
+    LSH-bucket stand-in): pairs within a block with cosine ≥ 0.9. At
+    scale the block key comes from LSH (operators/similarity.py), so
+    the join is an equi-join, never a cross join."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return pairs.filter(cos >= 0.9).select(
+        F.col("a.vec_id").alias("id1"),
+        F.col("b.vec_id").alias("id2"),
+        F.round(cos, 4).alias("cos_sim"),
+    )
+
+
+@query(
+    "embedding_norms_by_label",
+    """
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norms_by_label(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+@query(
+    "multimodal_decode_meta",
+    """
+    SELECT doc_id, length(text) AS n_bytes, md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark, sf_dir):
+    """Multimodal plumbing: treat the payload as an opaque binary column
+    and extract metadata in a vectorized Arrow pass (mapInPandas). The
+    real decoder (image/audio libs absent here) is a deterministic
+    stand-in — see operators/multimodal.py; the Spark-side schema,
+    batching and UDF signature are the real thing."""
+    from bear_spark.operators.multimodal import decode_binary_meta
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return decode_binary_meta(d, id_col="doc_id", payload_col="payload")

@@ -1,0 +1,298 @@
+"""Text-analysis + document-dedup operators over the `documents` table —
+the training-data-pipeline operations (language ID, quality scoring,
+token counting, fingerprinting, exact/near dedup) plus the reference's
+string/array/map functions (strip-prefix, doc serialization, positional
+reconstruction; reference: bear/utils.py:1-3, bear/model.py:164-228)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bear_spark.queries import query, t
+
+# stopword votes for the n-gram/lexicon language-ID heuristic
+_LANGSETS = {
+    "en": r"\b(the|a|of|to|and|is)\b",
+    "es": r"\b(el|la|de|que|y|es)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|de|et|est|les)\b",
+}
+
+
+@query(
+    "token_count_docs",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_words,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def token_count_docs(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("n_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9]+', 0)")).alias("n_words"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (md5 of alnum-lowered text) — the
+    exact-dedup key."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))).alias("fp"),
+    )
+
+
+@query(
+    "dedup_exact_docs",
+    """
+    SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM (
+      SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+      FROM documents
+    ) GROUP BY fp HAVING count(*) >= 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the content fingerprint; keep the
+    min doc_id as canonical representative."""
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))).alias("fp"),
+    )
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query(
+    "lang_id_docs",
+    f"""
+    SELECT doc_id,
+      CASE greatest(en, es, de, fr)
+        WHEN en THEN 'en' WHEN es THEN 'es' WHEN de THEN 'de' ELSE 'fr'
+      END AS lang_pred
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{_LANGSETS["en"]}')) AS en,
+             len(regexp_extract_all(lower(text), '{_LANGSETS["es"]}')) AS es,
+             len(regexp_extract_all(lower(text), '{_LANGSETS["de"]}')) AS de,
+             len(regexp_extract_all(lower(text), '{_LANGSETS["fr"]}')) AS fr
+      FROM documents
+    )
+    """,
+)
+def lang_id_docs(spark, sf_dir):
+    """Lexicon-vote language ID. CASE picks the first set matching the
+    max count (en > es > de > fr priority), mirroring the oracle."""
+    d = t(spark, sf_dir, "documents")
+    hits = d.select(
+        "doc_id",
+        *[
+            # Spark SQL string literals process escapes (\b = backspace),
+            # so the regex backslash must be doubled; DuckDB's must not.
+            F.size(
+                F.expr(f"regexp_extract_all(lower(text), '{pat.replace(chr(92), chr(92) * 2)}', 0)")
+            ).alias(lang)
+            for lang, pat in _LANGSETS.items()
+        ],
+    )
+    g = F.greatest("en", "es", "de", "fr")
+    return hits.select(
+        "doc_id",
+        F.when(F.col("en") == g, "en")
+        .when(F.col("es") == g, "es")
+        .when(F.col("de") == g, "de")
+        .otherwise("fr")
+        .alias("lang_pred"),
+    )
+
+
+@query(
+    "quality_score_docs",
+    """
+    SELECT doc_id,
+           round(n_words / greatest(n_tokens, 1), 4)                       AS word_ratio,
+           round(n_stop / greatest(n_words, 1), 4)                         AS stopword_ratio,
+           round(length(text) / greatest(n_tokens, 1), 4)                  AS avg_token_len,
+           CASE WHEN n_tokens BETWEEN 10 AND 5000
+                 AND n_stop / greatest(n_words, 1) > 0.01 THEN 1 ELSE 0 END AS keep
+    FROM (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '\\S+'))            AS n_tokens,
+             len(regexp_extract_all(text, '[a-zA-Z]+'))       AS n_words,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|is)\\b')) AS n_stop
+      FROM documents
+    )
+    """,
+)
+def quality_score_docs(spark, sf_dir):
+    """Heuristic quality scoring: length bounds, alpha-word ratio,
+    stopword ratio → keep/drop gate (Gopher-rules-style)."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("n_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z]+', 0)")).alias("n_words"),
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '\\b(the|a|of|to|and|is)\\b', 0)")
+        ).alias("n_stop"),
+    )
+    return base.select(
+        "doc_id",
+        F.round(F.col("n_words") / F.greatest(F.col("n_tokens"), F.lit(1)), 4).alias("word_ratio"),
+        F.round(F.col("n_stop") / F.greatest(F.col("n_words"), F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(F.length("text") / F.greatest(F.col("n_tokens"), F.lit(1)), 4).alias("avg_token_len"),
+        F.when(
+            F.col("n_tokens").between(10, 5000)
+            & (F.col("n_stop") / F.greatest(F.col("n_words"), F.lit(1)) > 0.01),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+@query(
+    "strip_prefix_normalize",
+    """
+    SELECT doc_id, lower(regexp_replace(source, '^src', '')) AS source_norm
+    FROM documents
+    """,
+)
+def strip_prefix_normalize(spark, sf_dir):
+    """Reference parity: strip_oa_prefix — URL-prefix removal +
+    lowercase, implemented as prefix regexp (NOT charset lstrip; the
+    reference's str.lstrip charset semantics is a known bug shape,
+    reference: bear/utils.py:1-3)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.lower(F.regexp_replace("source", "^src", "")).alias("source_norm")
+    )
+
+
+@query(
+    "doc_word_positions",
+    """
+    SELECT doc_id, u.pos, u.word FROM (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (x, i) -> {'pos': i - 1, 'word': x})) AS u
+      FROM documents WHERE doc_id < 20)
+    """,
+)
+def doc_word_positions(spark, sf_dir):
+    """Positional explode (posexplode) — the inverted-index direction of
+    the reference's abstract handling (reference: bear/model.py:13-17)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+@query(
+    "doc_reconstruct_from_positions",
+    """
+    SELECT doc_id, string_agg(u.word, ' ' ORDER BY u.pos) AS rebuilt
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, ' '),
+                                   (x, i) -> {'pos': i - 1, 'word': x})) AS u
+      FROM documents WHERE doc_id < 20
+    ) GROUP BY doc_id
+    """,
+)
+def doc_reconstruct_from_positions(spark, sf_dir):
+    """Reference parity: _recover_abstract — invert {word: [pos...]}
+    into position-sorted text (reference: bear/model.py:164-171). Here:
+    posexplode → sort structs by position → array_join."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    exploded = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    return (
+        exploded.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "word"))).alias("pw"))
+        .select(
+            "doc_id",
+            F.array_join(F.transform("pw", lambda s: s.word), " ").alias("rebuilt"),
+        )
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(w, (x, i) ->
+                 CASE WHEN i + 2 <= len(w) THEN x || ' ' || w[i+1] || ' ' || w[i+2] END)) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ) WHERE shingle IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(inter / (s1.sz + s2.sz - inter), 4) AS jaccard
+    FROM inter JOIN sizes s1 ON doc1 = s1.doc_id JOIN sizes s2 ON doc2 = s2.doc_id
+    WHERE inter / (s1.sz + s2.sz - inter) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by exact 3-word-shingle Jaccard ≥ 0.2.
+
+    Scale path: the shingle equi-join only pairs documents sharing a
+    shingle (inverted-index join), never a cross join; MinHash/LSH
+    (operators.minhash) replaces the exact join at 100 TB.
+    """
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    sh = (
+        d.filter(F.size(w) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, 3)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("inter") / (F.col("s1.sz") + F.col("s2.sz") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(s1), F.col("doc1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("doc2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
+    )

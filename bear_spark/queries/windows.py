@@ -1,0 +1,295 @@
+"""Window-function coverage: ranking, frames, lag/lead, as-of join,
+sessionization, grouped top-N — including the reference's rerank
+dataflow (explode → filter → formula → per-group top-N sum → sort),
+which is its most valuable query semantics (reference:
+bear/reranker.py:76-153, bear/search.py:113-122)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from bear_spark.queries import query, t
+
+
+@query(
+    "window_rank_customers",
+    """
+    SELECT c_custkey, c_nationkey,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           row_number()  OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           ntile(4)      OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+)
+def window_rank_customers(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    wt = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(wt).alias("rn"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS running
+    FROM events
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select("event_id", "user_id", F.round(F.sum("value").over(w), 3).alias("running"))
+
+
+@query(
+    "window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value)  OVER w, 3) AS delta_prev,
+           round(lead(value) OVER w - value, 3) AS delta_next
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 3).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 3).alias("delta_next"),
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
+
+
+@query(
+    "grouped_topn_sum",
+    """
+    SELECT l_suppkey, round(sum(l_extendedprice), 2) AS top10_sum
+    FROM (
+      SELECT l_suppkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 10
+    GROUP BY l_suppkey
+    """,
+)
+def grouped_topn_sum(spark, sf_dir):
+    """Reference parity: per-author top-N score sum
+    (reference: bear/reranker.py:105-114, np.partition top-N + sum)."""
+    li = t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("top10_sum"))
+    )
+
+
+@query(
+    "rerank_supplier_scores",
+    """
+    SELECT l_suppkey, round(sum(score), 4) AS total_score
+    FROM (
+      SELECT l_suppkey, score,
+             row_number() OVER (PARTITION BY l_suppkey ORDER BY score DESC, l_orderkey, l_linenumber) AS rn
+      FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               pow(1 - l_discount, 3) + log10(l_extendedprice + 3) AS score
+        FROM lineitem WHERE l_quantity > 10
+      )
+    ) WHERE rn <= 10
+    GROUP BY l_suppkey
+    ORDER BY total_score DESC, l_suppkey
+    LIMIT 25
+    """,
+)
+def rerank_supplier_scores(spark, sf_dir):
+    """The reference's full rerank dataflow as ONE Spark query:
+    filter → user-formula scoring (Catalyst-compiled expr string — the
+    numexpr analog, reference: bear/reranker.py:97-103) → per-group
+    top-N (reference: bear/reranker.py:105-114) → sum → sort desc
+    (reference: bear/reranker.py:136-153)."""
+    li = t(spark, sf_dir, "lineitem")
+    scored = li.filter(F.col("l_quantity") > 10).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("pow(1 - l_discount, 3) + log10(l_extendedprice + 3)").alias("score"),
+    )
+    w = W.partitionBy("l_suppkey").orderBy(F.desc("score"), "l_orderkey", "l_linenumber")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("score"), 4).alias("total_score"))
+        .orderBy(F.desc("total_score"), "l_suppkey")
+        .limit(25)
+    )
+
+
+@query(
+    "pivot_status_scores",
+    """
+    SELECT o_custkey,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS status_O,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS status_F,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS status_P,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def pivot_status_scores(spark, sf_dir):
+    """Reference parity: multi-source score merge with 0-defaults
+    (reference: bear/reranker.py:136-153) as a pivot."""
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_custkey")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_custkey",
+        F.round(F.coalesce("O", F.lit(0.0)), 2).alias("status_O"),
+        F.round(F.coalesce("F", F.lit(0.0)), 2).alias("status_F"),
+        F.round(F.coalesce("P", F.lit(0.0)), 2).alias("status_P"),
+        F.round(
+            F.coalesce("O", F.lit(0.0)) + F.coalesce("F", F.lit(0.0)) + F.coalesce("P", F.lit(0.0)),
+            2,
+        ).alias("total"),
+    )
+
+
+@query(
+    "asof_join_purchase_view",
+    """
+    SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_join_purchase_view(spark, sf_dir):
+    """As-of join without a cross join: union both sides tagged, one
+    window pass carries the latest view-ts forward per user. This is
+    the scalable as-of pattern (sort + single shuffle on user_id)."""
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(1).alias("kind"), "event_id"
+    )
+    # views sort before purchases at equal ts (kind 0 < 1) → ">=" semantics
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ev_ts", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = views.unionByName(purch).withColumn(
+        "view_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ev_ts")), ignorenulls=True).over(w),
+    )
+    return tagged.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", F.col("ev_ts").alias("ts"), "view_ts"
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    ) GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization: lag + cumulative sum of session starts."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gaps = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = gaps.withColumn("session_id", F.sum("is_new").over(wcum))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "tumbling_hour_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_hour_counts(spark, sf_dir):
+    """Tumbling event-time window as a batch groupBy (the streaming twin
+    lives in bear_spark.streaming)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
