@@ -9,8 +9,9 @@ Layout on disk::
 
 A snapshot records: the schema registry (all schema versions), the data
 files per bucket (each tagged with the schema version it was written
-under), the commit log (per source_partition high-water offset), the
-event-time watermark, and a lineage tail of recent commit metrics.
+under, its tombstone flag, and its exact row count), the commit log
+(applied [lo, hi] offset ranges per source_partition), the event-time
+watermark, and a lineage tail of recent commit metrics.
 
 Guarantees (the Iceberg-shaped contract the north rule asks for):
 
@@ -44,7 +45,7 @@ import uuid
 from collections.abc import Sequence
 from typing import Any
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -56,11 +57,22 @@ _SYS_FIELDS = [
     T.StructField("_deleted", T.BooleanType(), True),
     T.StructField("_bucket", T.IntegerType(), True),
 ]
-_ENVELOPE = ("op", "lsn", "source_partition", "offset")
+_ENVELOPE = ("op", "lsn", "source_partition", "offset", "_src_file")
 
 
 class ConcurrentCommit(RuntimeError):
     pass
+
+
+def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:
+    """Merge overlapping/adjacent [lo, hi] offset ranges."""
+    out: list[list[int]] = []
+    for lo, hi in sorted(map(tuple, ranges)):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
 
 
 class LakeTable:
@@ -102,8 +114,8 @@ class LakeTable:
             "lateness_sec": int(lateness_sec),
             "schemas": {"0": schema_to_json(schema)},
             "current_schema_version": 0,
-            "files": {},  # bucket(str) -> [{path, schema_version}]
-            "commit_log": {},  # source_partition(str) -> max applied offset
+            "files": {},  # bucket(str) -> [{path, schema_version, deleted, rows}]
+            "commit_log": {},  # source_partition(str) -> [[lo, hi] applied offset ranges]
             "watermark_ts": None,  # ISO string of event-time watermark
             "lineage": [],
         }
@@ -153,8 +165,12 @@ class LakeTable:
         snap = snap or self._snapshot()
         return schema_from_json(snap["schemas"][str(snap["current_schema_version"])])
 
-    def applied_offsets(self) -> dict[int, int]:
-        return {int(k): int(v) for k, v in self._snapshot()["commit_log"].items()}
+    def applied_offsets(self) -> dict[int, list[list[int]]]:
+        """Applied [lo, hi] offset ranges per source partition."""
+        return {
+            int(k): [list(map(int, r)) for r in v]
+            for k, v in self._snapshot()["commit_log"].items()
+        }
 
     def history(self) -> list[dict]:
         return self._snapshot()["lineage"]
@@ -164,20 +180,63 @@ class LakeTable:
         cols = [F.col(c) for c in snap["bucket_cols"]]
         return F.pmod(F.xxhash64(*cols), F.lit(snap["num_buckets"])).cast("int")
 
-    def _read_files(self, snap: dict, buckets: Sequence[int] | None) -> DataFrame:
+    def _iter_files(self, snap: dict, buckets: Sequence[int] | None, include_deleted: bool = True):
+        bset = None if buckets is None else set(buckets)
+        for b, files in snap["files"].items():
+            if bset is not None and int(b) not in bset:
+                continue
+            for fi in files:
+                if not include_deleted and fi.get("deleted"):
+                    continue
+                yield fi
+
+    def _file_rows(self, snap: dict, buckets: Sequence[int] | None) -> int:
+        """Row count for a bucket set from snapshot metadata (no scan)."""
+        return sum(fi["rows"] for fi in self._iter_files(snap, buckets))
+
+    def _enumerate_staged(
+        self, stage_rel: str, stage_dir: str, touched: Sequence[int], schema_version: int
+    ) -> dict[str, list[dict]]:
+        """List staged files per bucket; exact row counts come from the
+        parquet footers (driver-side metadata read, no Spark job)."""
+        import pyarrow.parquet as pq
+
+        new_files: dict[str, list[dict]] = {str(b): [] for b in touched}
+        for b in touched:
+            for deleted, dsub in ((False, "_del=false"), (True, "_del=true")):
+                bdir = os.path.join(stage_dir, f"_bucket_dir={b}", dsub)
+                if not os.path.isdir(bdir):
+                    continue
+                for fn in sorted(os.listdir(bdir)):
+                    if fn.endswith(".parquet"):
+                        fpath = os.path.join(bdir, fn)
+                        new_files[str(b)].append(
+                            {
+                                "path": os.path.relpath(fpath, self.root),
+                                "schema_version": schema_version,
+                                "deleted": deleted,
+                                "rows": pq.ParquetFile(fpath).metadata.num_rows,
+                            }
+                        )
+        return new_files
+
+    def _read_files(
+        self,
+        snap: dict,
+        buckets: Sequence[int] | None,
+        include_deleted: bool = True,
+    ) -> DataFrame:
         """Scan data files (system cols included), aligned to the current
         schema. Files are grouped by the schema version they were written
         under; each group is read with its physical schema and cast up —
-        this is how old files survive type widening."""
+        this is how old files survive type widening. Tombstone-only files
+        are dir-pruned when ``include_deleted`` is false."""
         target = T.StructType(self.payload_schema(snap).fields + _SYS_FIELDS)
         by_ver: dict[int, list[str]] = {}
-        for b, files in snap["files"].items():
-            if buckets is not None and int(b) not in set(buckets):
-                continue
-            for fi in files:
-                by_ver.setdefault(int(fi["schema_version"]), []).append(
-                    os.path.join(self.root, fi["path"])
-                )
+        for fi in self._iter_files(snap, buckets, include_deleted):
+            by_ver.setdefault(int(fi["schema_version"]), []).append(
+                os.path.join(self.root, fi["path"])
+            )
         if not by_ver:
             return self.spark.createDataFrame([], target)
         parts = []
@@ -199,8 +258,9 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
     ) -> DataFrame:
         snap = self._snapshot()
-        df = self._read_files(snap, buckets)
+        df = self._read_files(snap, buckets, include_deleted=include_deleted)
         if not include_deleted:
+            # belt-and-braces residual filter on top of the dir pruning
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         if not include_system:
             df = df.drop("_lsn", "_deleted", "_bucket")
@@ -215,10 +275,13 @@ class LakeTable:
         ``fence`` is true, already-applied offsets are filtered out and
         the commit log advances atomically with the data.
 
-        Plan shape (one shuffle): fence-filter → union(batch as events,
-        touched-bucket table rows as events) → groupBy(key).max_by(row,
-        (ts, lsn)) → write per-bucket files. Metrics are collected with
-        ``observe`` on the same plan — no extra passes over the data.
+        Plan shape: one small stats job over the batch (offset
+        high-waters, touched buckets, lateness), then ONE main job:
+        fence-filter → union(batch as events, touched-bucket table rows
+        as events) → groupBy(key).max_by(row, (ts, lsn)) → write
+        per-(bucket, deleted) files. Row-count metrics come from the
+        parquet footers of the staged files (driver-side metadata, no
+        extra scan).
         """
         snap = self._snapshot()
         expect_version = snap["version"]
@@ -237,41 +300,104 @@ class LakeTable:
 
         has_env = {"source_partition", "offset"} <= set(batch.columns)
 
-        # --- exactly-once fencing ---
-        rows_in = None
+        # --- exactly-once fencing on (source_partition, offset_range) ---
+        # The commit log stores APPLIED OFFSET RANGES per source
+        # partition (not a high-water mark): changelog files may arrive
+        # out of order, and a replayed file must be fenced while an
+        # unseen earlier file must still apply.
         if fence and has_env and snap["commit_log"]:
-            hw = self.spark.createDataFrame(
-                [(int(p), int(o)) for p, o in snap["commit_log"].items()],
-                "source_partition int, _applied long",
-            )
-            batch = (
-                batch.join(F.broadcast(hw), "source_partition", "left")
-                .filter(F.col("_applied").isNull() | (F.col("offset") > F.col("_applied")))
-                .drop("_applied")
-            )
+            rows = [
+                (int(p), int(lo), int(hi))
+                for p, ranges in snap["commit_log"].items()
+                for lo, hi in ranges
+            ]
+            if rows:
+                rng = self.spark.createDataFrame(
+                    rows, "_sp int, _lo long, _hi long"
+                )
+                batch = batch.join(
+                    F.broadcast(rng),
+                    (batch["source_partition"] == rng["_sp"])
+                    & batch["offset"].between(rng["_lo"], rng["_hi"]),
+                    "left_anti",
+                )
 
-        src = batch.withColumn("_bucket", self._bucket_expr(snap))
+        dbg = os.environ.get("BEAR_DEBUG") == "1"
+
+        def _log(msg: str) -> None:
+            if dbg:
+                print(f"[merge] {msg}", flush=True)
+
+        wm = snap["watermark_ts"]
+        # segment id = source file (one changelog chunk = one contiguous
+        # offset segment). Must be materialized as a column BELOW the
+        # persist boundary: input_file_name() evaluated on top of a
+        # cached relation returns "".
+        seg_expr = (
+            F.col("_src_file") if "_src_file" in batch.columns else F.input_file_name()
+        )
+        src = (
+            batch.withColumn("_bucket", self._bucket_expr(snap))
+            .withColumn("_segment", seg_expr)
+        )
         src = src.persist()
         try:
-            # one small job: per (source_partition, bucket) stats →
-            # emptiness check + offset high-waters + touched buckets.
+            # ONE small job: per (source_partition, bucket) stats →
+            # emptiness check, offset high-waters, touched buckets,
+            # watermark/lateness accounting. (No Observation API: inside
+            # foreachBatch the optimizer can eliminate observed branches
+            # — e.g. an empty target union side — and `Observation.get`
+            # then blocks forever.)
+            _log("stats job start")
+            part_col = F.col("source_partition") if has_env else F.lit(-1)
+            off_col = F.col("offset") if has_env else F.lit(-1).cast("long")
+            late_col = (
+                (F.col(seq_col) < F.lit(wm).cast("timestamp")).cast("long")
+                if wm
+                else F.lit(0).cast("long")
+            )
+            # grouping by input file keeps offset min/max contiguous per
+            # group (each changelog chunk is a contiguous log segment),
+            # so applied ranges are EXACT even when files arrive out of
+            # order. Non-file batches fall into one group per partition;
+            # callers merging ad-hoc DataFrames must pass per-partition
+            # contiguous offset segments (asserted below via count).
+            stats = (
+                src.groupBy(
+                    part_col.alias("_sp"),
+                    F.col("_segment").alias("_f"),
+                    "_bucket",
+                )
+                .agg(
+                    F.min(off_col).alias("lo"),
+                    F.max(off_col).alias("hi"),
+                    F.count(F.lit(1)).alias("c"),
+                    F.max(seq_col).alias("mts"),
+                    F.sum(late_col).alias("late"),
+                )
+                .collect()
+            )
+            _log(f"stats done: {len(stats)} groups")
+            touched = sorted({r["_bucket"] for r in stats})
+            new_offsets: dict[str, list[list[int]]] = {
+                k: [list(r) for r in v] for k, v in snap["commit_log"].items()
+            }
             if has_env:
-                stats = (
-                    src.groupBy("source_partition", "_bucket")
-                    .agg(F.max("offset").alias("mo"), F.count(F.lit(1)).alias("c"))
-                    .collect()
-                )
-                touched = sorted({r["_bucket"] for r in stats})
-                new_offsets: dict[str, int] = dict(snap["commit_log"])
+                seg: dict[tuple[int, str], list[int]] = {}
                 for r in stats:
-                    k = str(int(r["source_partition"]))
-                    new_offsets[k] = max(int(new_offsets.get(k, -1)), int(r["mo"]))
-                rows_in = sum(int(r["c"]) for r in stats)
-            else:
-                touched = sorted(
-                    r["_bucket"] for r in src.select("_bucket").distinct().collect()
-                )
-                new_offsets = dict(snap["commit_log"])
+                    k = (int(r["_sp"]), r["_f"])
+                    if k in seg:
+                        seg[k][0] = min(seg[k][0], int(r["lo"]))
+                        seg[k][1] = max(seg[k][1], int(r["hi"]))
+                    else:
+                        seg[k] = [int(r["lo"]), int(r["hi"])]
+                for (sp, _f), rng in seg.items():
+                    new_offsets.setdefault(str(sp), []).append(rng)
+                for k in new_offsets:
+                    new_offsets[k] = _merge_ranges(new_offsets[k])
+            rows_in = sum(int(r["c"]) for r in stats)
+            late_events = sum(int(r["late"] or 0) for r in stats)
+            max_ts = max((r["mts"] for r in stats if r["mts"] is not None), default=None)
 
             if not touched:
                 return {
@@ -280,8 +406,6 @@ class LakeTable:
                     "rows_in": 0,
                     "reason": "batch empty after exactly-once fence",
                 }
-
-            wm = snap["watermark_ts"]
 
             def to_events(df: DataFrame, op_col, lsn_col) -> DataFrame:
                 """Project onto the evolved payload schema + (_op, _elsn)."""
@@ -294,21 +418,9 @@ class LakeTable:
 
             # --- normalize both sides to "event" shape: payload + op + lsn
             src_evt = to_events(src, F.col("op"), F.col("lsn"))
-            obs_src = Observation()
-            src_evt = src_evt.observe(
-                obs_src,
-                F.count(F.lit(1)).alias("n"),
-                F.max(seq_col).alias("max_ts"),
-                F.sum(
-                    (F.col(seq_col) < F.lit(wm).cast("timestamp")).cast("long")
-                    if wm
-                    else F.lit(0)
-                ).alias("late"),
-            )
 
             tgt = self._read_files(snap, touched)
-            obs_tgt = Observation()
-            tgt = tgt.observe(obs_tgt, F.count(F.lit(1)).alias("n"))
+            tgt_rows = self._file_rows(snap, touched)
             tgt_evt = to_events(
                 tgt,
                 F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")),
@@ -330,46 +442,29 @@ class LakeTable:
                 (F.col("_op") == "D").alias("_deleted"),
             ).withColumn("_bucket", self._bucket_expr(snap))
 
-            obs_out = Observation()
-            final = final.observe(
-                obs_out,
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("_deleted").cast("long")).alias("tombstones"),
-            )
-
             # --- two-phase commit, phase 1: stage data files ---
+            # partition dirs carry (bucket, deleted) so live reads prune
+            # tombstone files without opening them
             new_version = expect_version + 1
             stage_rel = os.path.join("data", f"s{new_version}")
             stage_dir = os.path.join(self.root, stage_rel)
+            _log("write job start")
             (
                 final.withColumn("_bucket_dir", F.col("_bucket"))
-                .write.partitionBy("_bucket_dir")
+                .withColumn("_del", F.col("_deleted"))
+                .write.partitionBy("_bucket_dir", "_del")
                 .mode("overwrite")
                 .parquet(stage_dir)
             )
-
-            m_src, m_tgt, m_out = obs_src.get, obs_tgt.get, obs_out.get
-            if rows_in is None:
-                rows_in = int(m_src["n"])
-
-            # enumerate staged files per bucket
-            new_files: dict[str, list[dict]] = {str(b): [] for b in touched}
-            for b in touched:
-                bdir = os.path.join(stage_dir, f"_bucket_dir={b}")
-                if os.path.isdir(bdir):
-                    for fn in sorted(os.listdir(bdir)):
-                        if fn.endswith(".parquet"):
-                            new_files[str(b)].append(
-                                {
-                                    "path": os.path.join(stage_rel, f"_bucket_dir={b}", fn),
-                                    "schema_version": schema_version,
-                                }
-                            )
-
+            _log("write done, enumerating staged files")
+            new_files = self._enumerate_staged(stage_rel, stage_dir, touched, schema_version)
             files = dict(snap["files"])
             files.update(new_files)
+            rows_written = sum(fi["rows"] for fs in new_files.values() for fi in fs)
+            tombstones = sum(
+                fi["rows"] for fs in new_files.values() for fi in fs if fi["deleted"]
+            )
 
-            max_ts = m_src["max_ts"]
             new_wm = wm
             if max_ts is not None:
                 # watermark = max event time seen - allowed lateness
@@ -383,12 +478,12 @@ class LakeTable:
                 "version": new_version,
                 "skipped": False,
                 "rows_in": rows_in,
-                "rows_after_fence": int(m_src["n"]),
-                "late_events": int(m_src["late"] or 0),
-                "target_rows_read": int(m_tgt["n"]),
-                "rows_written": int(m_out["n"]),
-                "tombstones": int(m_out["tombstones"] or 0),
-                "dedup_drops": int(m_src["n"]) + int(m_tgt["n"]) - int(m_out["n"]),
+                "rows_after_fence": rows_in,
+                "late_events": late_events,
+                "target_rows_read": tgt_rows,
+                "rows_written": rows_written,
+                "tombstones": tombstones,
+                "dedup_drops": rows_in + tgt_rows - rows_written,
                 "buckets_touched": len(touched),
                 "schema_changes": changes,
             }
@@ -429,23 +524,17 @@ class LakeTable:
         df = self._read_files(snap, None)
         (
             df.withColumn("_bucket_dir", F.col("_bucket"))
+            .withColumn("_del", F.col("_deleted"))
             .repartition(max(1, len(snap["files"])), "_bucket")
-            .write.partitionBy("_bucket_dir")
+            .write.partitionBy("_bucket_dir", "_del")
             .mode("overwrite")
             .parquet(stage_dir)
         )
-        files: dict[str, list[dict]] = {}
-        for b in snap["files"]:
-            bdir = os.path.join(stage_dir, f"_bucket_dir={b}")
-            if os.path.isdir(bdir):
-                files[b] = [
-                    {
-                        "path": os.path.join(stage_rel, f"_bucket_dir={b}", fn),
-                        "schema_version": int(snap["current_schema_version"]),
-                    }
-                    for fn in sorted(os.listdir(bdir))
-                    if fn.endswith(".parquet")
-                ]
+        touched = sorted(int(b) for b in snap["files"])
+        files = self._enumerate_staged(
+            stage_rel, stage_dir, touched, int(snap["current_schema_version"])
+        )
+        files = {b: fs for b, fs in files.items() if fs}
         new_snap = {**snap, "version": new_version, "files": files}
         self._write_snapshot(new_snap, expect_version=expect_version)
 

@@ -1,0 +1,99 @@
+"""CDCApplier — the streaming ingest pipeline.
+
+``readStream`` tails the changelog directory in micro-batches
+(``maxFilesPerTrigger``), and ``foreachBatch`` applies each batch to the
+lake table via MERGE. Exactly-once comes from TWO cooperating layers:
+
+1. Spark's streaming checkpoint (which files each epoch consumed) —
+   at-least-once delivery on restart.
+2. The table's embedded commit log keyed by (source_partition, offset)
+   — already-applied rows are fenced inside ``LakeTable.merge`` before
+   any write, and offsets advance in the same atomic snapshot swap as
+   the data. Replayed epochs after a crash between "batch applied" and
+   "checkpoint written" are therefore harmless.
+
+Reference analog: the crawl→stage→ingest loop with delete-after-ingest
+offset commit (reference: bear/crawler.py:124-177, bear/ingest.py:12-27,
+25-27) — which is only at-least-once with idempotence masking; this
+upgrades it to true exactly-once.
+
+Per-batch lineage metrics (rows in, dedup drops, late events, buckets
+touched) land in the table snapshot's lineage tail AND in a metrics
+parquet table for SQL access (the north rule's per-partition
+lineage/metrics tables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bear_spark.lake import LakeTable
+from bear_spark.sources.changelog import read_changelog_stream
+
+
+class CDCApplier:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        changelog_dir: str,
+        checkpoint_dir: str,
+        metrics_dir: str | None = None,
+        max_files_per_trigger: int = 4,
+    ):
+        self.spark = spark
+        self.table = table
+        self.changelog_dir = changelog_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.metrics_dir = metrics_dir or os.path.join(checkpoint_dir, "..", "metrics")
+        self.max_files_per_trigger = max_files_per_trigger
+        self.batch_metrics: list[dict] = []
+
+    # -- foreachBatch body -------------------------------------------------
+    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        m = self.table.merge(batch)
+        m["epoch_id"] = epoch_id
+        self.batch_metrics.append(m)
+        self._write_metrics(m)
+
+    def _write_metrics(self, m: dict) -> None:
+        row = {
+            k: m.get(k)
+            for k in (
+                "epoch_id",
+                "version",
+                "skipped",
+                "rows_in",
+                "rows_after_fence",
+                "late_events",
+                "rows_written",
+                "tombstones",
+                "dedup_drops",
+                "buckets_touched",
+            )
+        }
+        pdf = __import__("pandas").DataFrame([row])
+        self.spark.createDataFrame(pdf).write.mode("append").parquet(self.metrics_dir)
+
+    # -- run ----------------------------------------------------------------
+    def run_available(self) -> list[dict]:
+        """Drain everything currently in the changelog (bounded replay:
+        ``trigger(availableNow=True)``), then stop. Resumable: rerunning
+        continues from the streaming checkpoint, and the table commit
+        log fences anything redelivered."""
+        stream = read_changelog_stream(
+            self.spark, self.changelog_dir, self.max_files_per_trigger
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return self.batch_metrics
+
+    def metrics_table(self) -> DataFrame:
+        return self.spark.read.parquet(self.metrics_dir)
