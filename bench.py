@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""bear_spark benchmark driver.
+
+Runs (a) the CDC MERGE-apply replay — the BASELINE.json headline metric,
+change-events/sec — and (b) the headline operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Prints ONE JSON line:
+
+    {"metric": "...", "value": <events/sec>, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] cores (default 32)
+  BENCH_CDC_EVENTS     CDC replay size (default 2_000_000)
+  BENCH_MODE           "all" (default) | "cdc" (replay only, for the
+                       scaling-efficiency runs in BENCH/)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "lww_dedup_events",
+    "cdc_final_state",
+    "window_running_sum",
+    "grouped_topn_sum",
+    "rerank_supplier_scores",
+    "sessionize_events",
+    "tumbling_hour_counts",
+    "ngram_jaccard_pairs",
+    "cosine_neardup_pairs",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without driver-side collection."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = None) -> dict:
+    """Sustained MERGE-apply throughput: generate a changelog, replay it
+    through LakeTable.merge in micro-batches, report events/sec."""
+    from bear_spark.events import change_events
+    from bear_spark.lake import LakeTable
+    from bear_spark.schema import KEY_COLS, TRANSCRIPT_SCHEMA
+
+    workdir = workdir or f"/tmp/bear_bench_{os.getpid()}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    log_dir = os.path.join(workdir, "changelog")
+
+    # stage the changelog to parquet first so generation cost is excluded
+    ev = change_events(spark, n_events, n_source_partitions=32)
+    ev.repartition(max(8, spark.sparkContext.defaultParallelism)).write.mode(
+        "overwrite"
+    ).parquet(log_dir)
+
+    table = LakeTable.create(
+        spark,
+        os.path.join(workdir, "tbl"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=KEY_COLS,
+        num_buckets=32,
+        overwrite=True,
+    )
+    log = spark.read.parquet(log_dir)
+    step = (n_events + n_batches - 1) // n_batches
+    t0 = time.time()
+    total_metrics = {"dedup_drops": 0, "rows_written": 0, "late_events": 0}
+    for lo in range(0, n_events, step):
+        m = table.merge(log.filter((log.lsn >= lo) & (log.lsn < lo + step)))
+        for k in total_metrics:
+            total_metrics[k] += m.get(k, 0)
+    wall = time.time() - t0
+    out = {
+        "cdc_events": n_events,
+        "cdc_batches": n_batches,
+        "cdc_wall_sec": round(wall, 2),
+        "cdc_events_per_sec": round(n_events / wall, 1),
+        **total_metrics,
+    }
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    from bear_spark.queries import REGISTRY
+    from bear_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
+    mode = os.environ.get("BENCH_MODE", "all")
+
+    spark = get_spark(app_name="bear_bench", cores=cpus, shuffle_partitions=2 * cpus)
+
+    cdc = bench_cdc(spark, n_events)
+
+    queries: dict[str, float] = {}
+    if mode == "all":
+        for name in HEADLINE_QUERIES:
+            df = REGISTRY[name](spark, sf_dir)
+            _force(df)  # warm (scan cache, codegen)
+            t0 = time.time()
+            _force(REGISTRY[name](spark, sf_dir))
+            queries[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_merge_apply_events_per_sec",
+                "value": cdc["cdc_events_per_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc": cdc,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
