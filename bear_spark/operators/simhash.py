@@ -1,0 +1,93 @@
+"""SimHash document fingerprinting — 64-bit locality-sensitive hash
+where near-duplicate texts differ in few bits.
+
+Construction (all JVM built-ins): token → xxhash64 → for each of 64 bit
+positions, sum +1/-1 weighted votes across the document's tokens → bit
+i of the fingerprint = sign of vote i. Bucketing by the fingerprint's
+high bytes (or hamming-ball probing) gives near-dup candidates.
+
+Implementation shape: one explode + one groupBy with 64 conditional
+sums (map-side combinable), then bit-assembly with conv/shiftleft.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BITS = 64
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per doc: `simhash` (64-bit long) fingerprint."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(BITS)
+        ]
+    )
+    fp = None
+    for i in range(BITS):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return votes.select(id_col, fp.alias("simhash"))
+
+
+def hamming_distance(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    64/band_bits chunks (pigeonhole: any pair within max_hamming shares
+    at least one exact chunk when bands > max_hamming), equi-join on
+    (band, chunk), then verify with exact hamming distance."""
+    fps = simhash(docs, id_col, text_col)
+    nbands = BITS // band_bits
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("band_id", "chunk"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", hamming_distance(F.col("h1"), F.col("h2")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

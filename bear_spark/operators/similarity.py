@@ -1,0 +1,96 @@
+"""Vector similarity search operators.
+
+Brute-force exact cosine top-k is the correctness baseline (the
+reference's ANN search is a store-side HNSW index, bear/config.py:23-35;
+query semantics = top-k by inner product, bear/search.py:96-111). The
+scale path is random-hyperplane LSH: bucket vectors by the sign pattern
+of dot products with fixed random hyperplanes, probe the query's bucket
+(and optionally neighboring buckets), then score exactly within the
+candidate set. All vector math is JVM-side (zip_with/aggregate), no
+Python in the loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    vecs: DataFrame, query: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        vecs.select(id_col, F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def rp_lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Bucket id = bit pattern of sign(v · plane_i) — a long column."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        parr = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(F.col(vec_col), parr) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_ann_topk(
+    vecs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    seed: int = 7,
+    max_probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``max_probe_hamming`` bits of the query's bucket (multi-probe).
+
+    At scale the bucket column is precomputed/partitioned-on, so a query
+    touches a handful of buckets instead of the full table.
+    """
+    planes = _planes(len(query), n_planes, seed)
+    qvec = np.array(query, dtype=float)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(qvec, np.array(p))) > 0:
+            qbucket |= 1 << i
+    bucketed = vecs.withColumn("_bucket", rp_lsh_bucket_expr(vec_col, planes))
+    cand = bucketed.filter(
+        F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qbucket))) <= max_probe_hamming
+    )
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(id_col, F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -234,6 +234,41 @@ def doc_reconstruct_from_positions(spark, sf_dir):
     )
 
 
+@query("minhash_neardup_docs")  # xxhash64 family not reproducible in DuckDB → rows-only
+def minhash_neardup_docs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle → k-min signature → banded
+    equi-join) — the 100 TB-scale replacement for the exact shingle
+    join below; see operators/minhash.py. Verified against the exact
+    Jaccard baseline in tests/test_dedup_similarity_ops.py."""
+    from bear_spark.operators.minhash import minhash_neardup_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_neardup_pairs(d, verify_threshold=0.4)
+
+
+@query("simhash_fingerprints")  # rows-only (xxhash64-based)
+def simhash_fingerprints(spark, sf_dir):
+    """64-bit SimHash per document (operators/simhash.py)."""
+    from bear_spark.operators.simhash import simhash
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(d)
+
+
+@query("lsh_ann_topk")  # rows-only (random-hyperplane buckets)
+def lsh_ann_topk_q(spark, sf_dir):
+    """Approximate nearest neighbors via random-hyperplane LSH with
+    multi-probe, exact-scored within candidates (operators/similarity.py);
+    recall vs brute force asserted in tests."""
+    from pyspark.sql import functions as F
+
+    from bear_spark.operators.similarity import lsh_ann_topk
+
+    vecs = t(spark, sf_dir, "embeddings")
+    query_vec = [float(x) for x in vecs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return lsh_ann_topk(vecs, query_vec, k=10)
+
+
 @query(
     "ngram_jaccard_pairs",
     """

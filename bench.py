@@ -100,11 +100,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
+    n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "8"))
     mode = os.environ.get("BENCH_MODE", "all")
 
     spark = get_spark(app_name="bear_bench", cores=cpus, shuffle_partitions=2 * cpus)
 
-    cdc = bench_cdc(spark, n_events)
+    cdc = bench_cdc(spark, n_events, n_batches)
 
     queries: dict[str, float] = {}
     if mode == "all":

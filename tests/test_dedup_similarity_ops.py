@@ -1,0 +1,123 @@
+"""Tests for the training-data operators: MinHash/LSH, SimHash,
+random-hyperplane ANN — verified against exact baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bear_spark.operators.minhash import minhash_neardup_pairs, minhash_signatures, shingles
+from bear_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from bear_spark.operators.simhash import simhash, simhash_neardup_pairs
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """documents + planted near-duplicates (one word changed)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") < 25)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+        )
+    )
+    return docs.unionByName(dups)
+
+
+def _exact_jaccard_pairs(spark, corpus, threshold):
+    sh = shingles(corpus).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("i") / (F.col("s1.sz") + F.col("s2.sz") - F.col("i"))
+    return (
+        inter.join(s1, F.col("id1") == F.col("s1.doc_id"))
+        .join(s2, F.col("id2") == F.col("s2.doc_id"))
+        .filter(jac >= threshold)
+        .select("id1", "id2")
+    )
+
+
+def test_minhash_finds_planted_neardups(spark, corpus):
+    pairs = minhash_neardup_pairs(corpus, verify_threshold=0.5).toPandas()
+    found = set(map(tuple, pairs[["id1", "id2"]].values.tolist()))
+    planted = {(i, i + 100000) for i in range(25)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"minhash missed planted dups: recall={recall}"
+
+
+def test_minhash_candidates_capture_exact_pairs(spark, corpus):
+    exact = set(
+        map(tuple, _exact_jaccard_pairs(spark, corpus, 0.8).toPandas().values.tolist())
+    )
+    assert exact, "sanity: exact join must find the planted dups"
+    lsh = set(
+        map(
+            tuple,
+            minhash_neardup_pairs(corpus, verify_threshold=0.5)
+            .select("id1", "id2")
+            .toPandas()
+            .values.tolist(),
+        )
+    )
+    missed = exact - lsh
+    assert len(missed) / len(exact) <= 0.1, f"LSH missed {len(missed)}/{len(exact)}"
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """Two docs with known overlap: signature agreement ≈ Jaccard."""
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p"),
+        (2, "a b c d e f g h i j k l m n o q"),  # ~ high overlap
+        (3, "z y x w v u t s r q p o n m l k"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(shingles(docs), num_hashes=128).toPandas().set_index("doc_id")
+    import numpy as np
+
+    s1, s2, s3 = (np.array(sig.loc[i, "sig"]) for i in (1, 2, 3))
+    est12 = float((s1 == s2).mean())
+    est13 = float((s1 == s3).mean())
+    assert est12 > 0.6  # true jaccard = 12/16 shingles shared ≈ 0.71
+    assert est13 < 0.2
+
+
+def test_simhash_neardups_and_distance(spark, corpus):
+    fps = simhash(corpus).toPandas().set_index("doc_id")
+    # planted dup differs in one word → small hamming distance
+    import numpy as np
+
+    close, far = [], []
+    for i in range(25):
+        h1, h2 = int(fps.loc[i, "simhash"]), int(fps.loc[i + 100000, "simhash"])
+        close.append(bin(h1 ^ h2).count("1"))
+    others = fps.index[:25]
+    for i, j in zip(others[:-1], others[1:]):
+        far.append(bin(int(fps.loc[i, "simhash"]) ^ int(fps.loc[j, "simhash"])).count("1"))
+    assert np.mean(close) < np.mean(far), (np.mean(close), np.mean(far))
+
+    pairs = simhash_neardup_pairs(corpus, max_hamming=10).toPandas()
+    found = set(map(tuple, pairs[["id1", "id2"]].values.tolist()))
+    planted = {(i, i + 100000) for i in range(25)}
+    assert len(found & planted) / len(planted) >= 0.5
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    query = vecs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(vecs, query, 10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in lsh_ann_topk(vecs, query, 10, n_planes=4, max_probe_hamming=3).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"ANN recall too low: {recall} ({approx} vs {exact})"
