@@ -452,6 +452,12 @@ class LakeTable:
             (
                 final.withColumn("_bucket_dir", F.col("_bucket"))
                 .withColumn("_del", F.col("_deleted"))
+                # co-locate each bucket in one writer task: without this,
+                # every shuffle partition fans out a file per bucket it
+                # holds (tasks x buckets tiny files per merge), and the
+                # accumulated small files dominate subsequent target
+                # reads. One extra bounded shuffle buys O(buckets) files.
+                .repartition(len(touched), "_bucket")
                 .write.partitionBy("_bucket_dir", "_del")
                 .mode("overwrite")
                 .parquet(stage_dir)

@@ -92,6 +92,22 @@ def expr_formula_score(spark, sf_dir):
 
 
 @query(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """JSON-path extraction from a string payload column (the
+    reference's raw-API-JSON parsing shape, bear/model.py:173-202)."""
+    e = t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "click").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+@query(
     "late_events_beyond_watermark",
     """
     WITH maxts AS (SELECT max(ts) AS m FROM events)

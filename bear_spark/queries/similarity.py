@@ -112,6 +112,65 @@ def embedding_norms_by_label(spark, sf_dir):
 
 
 @query(
+    "vector_search_filtered",
+    f"""
+    SELECT a.vec_id, a.label, round({_DUCK_COS}, 4) AS cos_sim
+    FROM embeddings a JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+      ON a.vec_id <> 0
+    WHERE a.label <> 3 AND {_DUCK_COS} >= 0.1
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 15
+    """,
+)
+def vector_search_filtered(spark, sf_dir):
+    """The reference's full search_resource pipeline in one query:
+    predicate pushdown (label filter → parquet scan) + vector scoring +
+    residual min-distance filter + top-k sort (reference:
+    bear/search.py:51-111, filter build at :78-84, min_distance at
+    :108-110)."""
+    e = t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = e.filter((F.col("vec_id") != 0) & (F.col("label") != 3))
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    return (
+        cand.join(F.broadcast(qvec))
+        .withColumn("cos_sim", F.round(cos, 4))
+        .filter(F.col("cos_sim") >= 0.1)
+        .select("vec_id", "label", "cos_sim")
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(15)
+    )
+
+
+@query(
+    "doc_embed_text",
+    """
+    SELECT doc_id,
+           concat('passage: ', source, ' | ', lang, ' | ', substr(text, 1, 40)) AS embed_text
+    FROM documents
+    """,
+)
+def doc_embed_text(spark, sf_dir):
+    """Reference parity: the __str__ doc serialization that feeds the
+    embedder — concat of non-empty fields with separators (reference:
+    bear/model.py:217-228) plus the task-type prefix (reference:
+    bear/embedding.py:57-61)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("passage: "),
+            F.col("source"),
+            F.lit(" | "),
+            F.col("lang"),
+            F.lit(" | "),
+            F.substring("text", 1, 40),
+        ).alias("embed_text"),
+    )
+
+
+@query(
     "multimodal_decode_meta",
     """
     SELECT doc_id, length(text) AS n_bytes, md5(text) AS checksum

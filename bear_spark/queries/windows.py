@@ -279,6 +279,50 @@ def sessionize_events(spark, sf_dir):
 
 
 @query(
+    "window_range_frame_30d",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_frame_30d(spark, sf_dir):
+    """Event-time RANGE frame: trailing 30-day spend per customer."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_rf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS spend_30d
+        FROM _rf_orders
+        """
+    )
+
+
+@query(
+    "window_first_last",
+    """
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_event,
+           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_first_last(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(wfull).alias("last_event"),
+    ).distinct()
+
+
+@query(
     "tumbling_hour_counts",
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
