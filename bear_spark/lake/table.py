@@ -267,7 +267,9 @@ class LakeTable:
         return df
 
     # ------------------------------------------------------------ MERGE
-    def merge(self, batch: DataFrame, fence: bool = True) -> dict[str, Any]:
+    def merge(
+        self, batch: DataFrame, fence: bool = True, mode: str | None = None
+    ) -> dict[str, Any]:
         """MERGE a batch of change events into the table (copy-on-write).
 
         ``batch`` carries the payload columns plus ``op`` ('I'/'U'/'D')
@@ -276,13 +278,23 @@ class LakeTable:
         the commit log advances atomically with the data.
 
         Plan shape: one small stats job over the batch (offset
-        high-waters, touched buckets, lateness), then ONE main job:
-        fence-filter → union(batch as events, touched-bucket table rows
-        as events) → groupBy(key).max_by(row, (ts, lsn)) → write
-        per-(bucket, deleted) files. Row-count metrics come from the
-        parquet footers of the staged files (driver-side metadata, no
-        extra scan).
+        high-waters, touched buckets, lateness), then ONE main job in
+        one of two apply modes (``mode`` / $BEAR_MERGE_MODE):
+
+        - ``"arrow"`` (default): shuffle ONLY the batch by bucket;
+          each task reads its buckets' existing files directly and
+          rewrites them — file-granularity COW via a vectorized Arrow
+          kernel (see lake/arrow_apply.py). The table never crosses
+          the shuffle.
+        - ``"sql"``: union(batch, touched-bucket table rows) →
+          groupBy(bucket, key).max_by(row, (ts, lsn)) → bucket-
+          partitioned write. Pure Catalyst; kept as the oracle-parity
+          and plan-inspection path.
+
+        Row-count metrics come from the parquet footers of the staged
+        files (driver-side metadata, no extra scan).
         """
+        mode = mode or os.environ.get("BEAR_MERGE_MODE", "arrow")
         snap = self._snapshot()
         expect_version = snap["version"]
         key_cols = snap["key_cols"]
@@ -326,7 +338,9 @@ class LakeTable:
 
         def _log(msg: str) -> None:
             if dbg:
-                print(f"[merge] {msg}", flush=True)
+                import time as _time
+
+                print(f"[merge +{_time.time():.3f}] {msg}", flush=True)
 
         wm = snap["watermark_ts"]
         # segment id = source file (one changelog chunk = one contiguous
@@ -361,12 +375,13 @@ class LakeTable:
             # so applied ranges are EXACT even when files arrive out of
             # order. Non-file batches fall into one group per partition;
             # callers merging ad-hoc DataFrames must pass per-partition
-            # contiguous offset segments (asserted below via count).
+            # contiguous offset segments. Touched buckets come back as a
+            # collect_set per group (cheaper than a (sp, file, bucket)
+            # cube: O(files) rows to the driver, not O(files x buckets)).
             stats = (
                 src.groupBy(
                     part_col.alias("_sp"),
                     F.col("_segment").alias("_f"),
-                    "_bucket",
                 )
                 .agg(
                     F.min(off_col).alias("lo"),
@@ -374,11 +389,12 @@ class LakeTable:
                     F.count(F.lit(1)).alias("c"),
                     F.max(seq_col).alias("mts"),
                     F.sum(late_col).alias("late"),
+                    F.collect_set("_bucket").alias("bks"),
                 )
                 .collect()
             )
             _log(f"stats done: {len(stats)} groups")
-            touched = sorted({r["_bucket"] for r in stats})
+            touched = sorted({b for r in stats for b in r["bks"]})
             new_offsets: dict[str, list[list[int]]] = {
                 k: [list(r) for r in v] for k, v in snap["commit_log"].items()
             }
@@ -408,60 +424,35 @@ class LakeTable:
                 }
 
             def to_events(df: DataFrame, op_col, lsn_col) -> DataFrame:
-                """Project onto the evolved payload schema + (_op, _elsn)."""
+                """Project onto the evolved payload schema + (_bucket, _op, _elsn)."""
                 have = set(df.columns)
                 cols = [
                     (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
                     for f in new_schema.fields
                 ]
-                return df.select(*cols, op_col.alias("_op"), lsn_col.alias("_elsn"))
+                return df.select(
+                    *cols, F.col("_bucket"), op_col.alias("_op"), lsn_col.alias("_elsn")
+                )
 
             # --- normalize both sides to "event" shape: payload + op + lsn
             src_evt = to_events(src, F.col("op"), F.col("lsn"))
-
-            tgt = self._read_files(snap, touched)
             tgt_rows = self._file_rows(snap, touched)
-            tgt_evt = to_events(
-                tgt,
-                F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")),
-                F.col("_lsn"),
-            )
 
-            unioned = src_evt.unionByName(tgt_evt)
-            # LWW: hash agg with map-side combine (see operators.dedup)
-            row = F.struct(*[F.col(c) for c in unioned.columns])
-            seq = F.struct(F.col(seq_col), F.col("_elsn"))
-            winner = (
-                unioned.groupBy(*key_cols)
-                .agg(F.max_by(row, seq).alias("_row"))
-                .select("_row.*")
-            )
-            final = winner.select(
-                *[F.col(f.name) for f in new_schema.fields],
-                F.col("_elsn").alias("_lsn"),
-                (F.col("_op") == "D").alias("_deleted"),
-            ).withColumn("_bucket", self._bucket_expr(snap))
-
-            # --- two-phase commit, phase 1: stage data files ---
-            # partition dirs carry (bucket, deleted) so live reads prune
-            # tombstone files without opening them
             new_version = expect_version + 1
             stage_rel = os.path.join("data", f"s{new_version}")
             stage_dir = os.path.join(self.root, stage_rel)
-            _log("write job start")
-            (
-                final.withColumn("_bucket_dir", F.col("_bucket"))
-                .withColumn("_del", F.col("_deleted"))
-                # co-locate each bucket in one writer task: without this,
-                # every shuffle partition fans out a file per bucket it
-                # holds (tasks x buckets tiny files per merge), and the
-                # accumulated small files dominate subsequent target
-                # reads. One extra bounded shuffle buys O(buckets) files.
-                .repartition(len(touched), "_bucket")
-                .write.partitionBy("_bucket_dir", "_del")
-                .mode("overwrite")
-                .parquet(stage_dir)
-            )
+            shuffle_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            n_part = max(1, min(len(touched), shuffle_parts))
+
+            _log(f"write job start (mode={mode})")
+            if mode == "arrow":
+                self._apply_arrow(
+                    src_evt, snap, touched, stage_dir, n_part, key_cols, seq_col, new_schema
+                )
+            else:
+                self._apply_sql(
+                    src_evt, snap, touched, stage_dir, n_part, key_cols, seq_col, new_schema
+                )
             _log("write done, enumerating staged files")
             new_files = self._enumerate_staged(stage_rel, stage_dir, touched, schema_version)
             files = dict(snap["files"])
@@ -470,7 +461,6 @@ class LakeTable:
             tombstones = sum(
                 fi["rows"] for fs in new_files.values() for fi in fs if fi["deleted"]
             )
-
             new_wm = wm
             if max_ts is not None:
                 # watermark = max event time seen - allowed lateness
@@ -514,6 +504,120 @@ class LakeTable:
             return metrics
         finally:
             src.unpersist()
+
+    # ------------------------------------------------- apply strategies
+    def _apply_arrow(
+        self,
+        src_evt: DataFrame,
+        snap: dict,
+        touched: Sequence[int],
+        stage_dir: str,
+        n_part: int,
+        key_cols: Sequence[str],
+        seq_col: str,
+        new_schema: T.StructType,
+    ) -> None:
+        """File-granularity COW: shuffle only the batch, by bucket; each
+        task reads its buckets' existing files directly and writes the
+        replacements (vectorized Arrow kernel, lake/arrow_apply.py).
+        The table rows never cross the shuffle — at steady state this
+        moves O(batch) bytes where the SQL path moves O(batch + table).
+        """
+        from bear_spark.lake.arrow_apply import APPLY_RESULT_SCHEMA, make_apply_kernel
+
+        files_by_bucket = {
+            int(b): [
+                os.path.join(self.root, fi["path"])
+                for fi in snap["files"].get(str(b), [])
+            ]
+            for b in touched
+        }
+        target_json = schema_to_json(new_schema)
+        kernel = make_apply_kernel(
+            files_by_bucket, target_json, stage_dir, list(key_cols), seq_col
+        )
+        # pin the partition count: REPARTITION_BY_NUM both defeats AQE
+        # coalescing (sized on the small batch-side shuffle, blind to
+        # the table files each task will read) and satisfies the
+        # clustered distribution applyInPandas requires — no second
+        # exchange.
+        (
+            src_evt.repartition(n_part, "_bucket")
+            .groupBy("_bucket")
+            .applyInPandas(kernel, APPLY_RESULT_SCHEMA)
+            .collect()
+        )
+
+    def _apply_sql(
+        self,
+        src_evt: DataFrame,
+        snap: dict,
+        touched: Sequence[int],
+        stage_dir: str,
+        n_part: int,
+        key_cols: Sequence[str],
+        seq_col: str,
+        new_schema: T.StructType,
+    ) -> None:
+        """Catalyst COW: union batch + touched-bucket table rows, LWW
+        via groupBy(bucket, key).max_by, bucket-partitioned write.
+
+        repartition on _bucket gives HashPartitioning(_bucket), which
+        SATISFIES the clustered distribution required by
+        groupBy(_bucket, key...) (partitioning keys are a subset of the
+        grouping keys), so the LWW aggregation runs with no second
+        exchange — and because a bucket never splits across partitions,
+        the partitionBy write emits one file per (bucket, tombstone-
+        flag) with no extra repartition. The partition count is
+        decoupled from the bucket count: many buckets per partition
+        keeps the shuffle balanced (balls-in-bins evens out when
+        #buckets >> #partitions) while num_buckets independently sets
+        COW rewrite granularity and file size at scale.
+        """
+        tgt = self._read_files(snap, touched)
+        tgt_evt = (
+            tgt.withColumn(
+                "_op", F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U"))
+            )
+            .withColumn("_elsn", F.col("_lsn"))
+            .drop("_lsn", "_deleted")
+        )
+        # align target to the evolved payload schema + event columns
+        have = set(tgt_evt.columns)
+        tgt_evt = tgt_evt.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in new_schema.fields
+            ],
+            "_bucket",
+            "_op",
+            "_elsn",
+        )
+        unioned = src_evt.unionByName(tgt_evt).repartition(n_part, "_bucket")
+        row = F.struct(*[F.col(c) for c in unioned.columns])
+        seq = F.struct(F.col(seq_col), F.col("_elsn"))
+        winner = (
+            unioned.groupBy("_bucket", *key_cols)
+            .agg(F.max_by(row, seq).alias("_row"))
+            .select("_row.*")
+        )
+        final = winner.select(
+            *[F.col(f.name) for f in new_schema.fields],
+            F.col("_bucket"),
+            F.col("_elsn").alias("_lsn"),
+            (F.col("_op") == "D").alias("_deleted"),
+        )
+        (
+            final.withColumn("_bucket_dir", F.col("_bucket"))
+            .withColumn("_del", F.col("_deleted"))
+            .write.partitionBy("_bucket_dir", "_del")
+            .mode("overwrite")
+            .parquet(stage_dir)
+        )
 
     # ------------------------------------------------------- maintenance
     def compact(self, target_files_per_bucket: int = 1) -> None:

@@ -49,7 +49,20 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # files: keep partition sizing sane for both sf0.001 and 100 TB
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # a lake table snapshot can reference hundreds of bucket files;
+        # below this threshold Spark stats them on the driver (micro-
+        # seconds on a local fs) instead of scheduling a one-task-per-
+        # file distributed listing job (which costs seconds per merge)
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
     )
+    # Shuffle/spill blocks go to RAM-backed storage when available: in
+    # local mode all executor threads share one virtual disk, which
+    # serializes the shuffle stages that a real cluster spreads across
+    # per-executor SSDs. (Harmless elsewhere: falls back to /tmp.)
+    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

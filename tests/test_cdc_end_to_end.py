@@ -125,6 +125,33 @@ def test_delete_tombstone_blocks_stale_resurrection(spark, table):
     assert list(out["text"]) == ["v3"]
 
 
+@pytest.mark.parametrize("modes", [("arrow", "sql")])
+def test_apply_modes_converge_identically(spark, tmp_path, events_pdf, modes):
+    """The Arrow file-granularity COW kernel and the Catalyst union/
+    max_by path must produce byte-identical final state (live rows AND
+    tombstones) over the same chunked replay."""
+    ev = change_events(spark, N_EVENTS, n_convs=60, seed=7)
+    states = []
+    for mode in modes:
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / f"tbl_{mode}"),
+            TRANSCRIPT_SCHEMA,
+            key_cols=KEY_COLS,
+            seq_col="ts",
+            num_buckets=4,
+        )
+        for lo in range(0, N_EVENTS, 2500):
+            t.merge(ev.filter((ev.lsn >= lo) & (ev.lsn < lo + 2500)), mode=mode)
+        states.append(
+            t.read(include_deleted=True, include_system=True)
+            .toPandas()
+            .sort_values(KEY_COLS)
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(states[0], states[1], check_like=True)
+
+
 def test_lineage_metrics_recorded(spark, table):
     ev = change_events(spark, 3000, n_convs=20, seed=5)
     m = table.merge(ev)
