@@ -63,23 +63,61 @@ def make_apply_kernel(
     stage_dir: str,
     key_cols: list[str],
     seq_col: str,
+    wm_iso: str | None = None,
     compression: str = "snappy",
 ) -> Callable:
     """Build the applyInPandas kernel for one merge.
 
-    ``files_by_bucket``: existing data-file paths per touched bucket
-    (already absolute; all schema versions — alignment to the target
-    schema happens here, which is exactly the registry-reconciler's
-    "rewrite Arrow batches" step).
+    ``files_by_bucket``: existing data-file paths per bucket (already
+    absolute; all schema versions — alignment to the target schema
+    happens here, which is exactly the registry-reconciler's "rewrite
+    Arrow batches" step).
+
+    Besides applying LWW, each group returns its slice of the BATCH
+    stats — per (source_partition, segment) contiguous offset range,
+    row count, late-event count vs the ``wm_iso`` watermark, and max
+    event time — as a JSON column the driver folds into the commit.
+    This makes merge a single job: no separate stats pass, no cache.
     """
 
     def kernel(pdf):
+        import json as _json
+
         import pandas as pd
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         bucket = int(pdf["_bucket"].iloc[0])
+
+        # --- batch stats for this bucket's slice ----------------------
+        # normalize event time to naive UTC (the snapshot watermark
+        # format) regardless of how Arrow delivered it
+        ts_series = pdf[seq_col]
+        if getattr(ts_series.dtype, "tz", None) is not None:
+            ts_series = ts_series.dt.tz_convert("UTC").dt.tz_localize(None)
+        late_mask = (
+            (ts_series < pd.Timestamp(wm_iso))
+            if wm_iso
+            else pd.Series(False, index=pdf.index)
+        )
+        stats = []
+        grouped = pdf.groupby(["_sp", "_segment"], sort=False, dropna=False)
+        for (sp, segf), idx in grouped.indices.items():
+            sub_off = pdf["_off"].iloc[idx]
+            mts = ts_series.iloc[idx].max()
+            stats.append(
+                {
+                    "sp": int(sp),
+                    "f": str(segf),
+                    "lo": int(sub_off.min()),
+                    "hi": int(sub_off.max()),
+                    "c": int(len(idx)),
+                    "late": int(late_mask.iloc[idx].sum()),
+                    "mts": None if pd.isna(mts) else mts.isoformat(),
+                }
+            )
+        pdf = pdf.drop(columns=["_sp", "_off", "_segment"])
         target = _arrow_schema(pa, target_schema_json)
         payload_names = [f.name for f in target]
         # event shape: payload + _bucket/_op/_elsn
@@ -123,10 +161,27 @@ def make_apply_kernel(
             parts.append(align_to_events(t, op.cast(pa.string()), t.column("_lsn")))
         events = pa.concat_tables(parts)
 
-        # --- LWW, vectorized: stable sort by (seq, lsn), group-tail ------
-        df = events.to_pandas()
-        df = df.sort_values([seq_col, "_elsn"], kind="stable", na_position="first")
-        winners = df.groupby(key_cols, sort=False, dropna=False).tail(1)
+        # --- LWW, pure Arrow: sort by (seq, lsn) ascending (nulls
+        # first, so a null event time always loses), then ordered
+        # group-by taking the LAST row per key — all C++; the row data
+        # never materializes as Python objects
+        idx = pc.sort_indices(
+            events,
+            sort_keys=[(seq_col, "ascending"), ("_elsn", "ascending")],
+            null_placement="at_start",
+        )
+        events = events.take(idx)
+        val_cols = [c for c in events.column_names if c not in key_cols]
+        # skip_nulls=False: "last" must return the winning row's value
+        # even when it is null (a newer event may legitimately null a
+        # column); the default would resurrect stale non-null values
+        last_opts = pc.ScalarAggregateOptions(skip_nulls=False)
+        win = events.group_by(key_cols, use_threads=False).aggregate(
+            [(c, "last", last_opts) for c in val_cols]
+        )
+
+        def wcol(name: str):
+            return win.column(name if name in key_cols else f"{name}_last")
 
         # --- write replacement files (file-granularity COW) --------------
         out_schema = pa.schema(
@@ -137,21 +192,31 @@ def make_apply_kernel(
                 pa.field("_deleted", pa.bool_()),
             ]
         )
+        del_mask = pc.equal(wcol("_op"), pa.scalar("D"))
+        del_mask = pc.fill_null(del_mask, False)
+        full = pa.table(
+            [
+                *[wcol(n) for n in payload_names],
+                wcol("_bucket"),
+                wcol("_elsn"),
+                del_mask,
+            ],
+            schema=out_schema,
+        )
         counts = {False: 0, True: 0}
-        for deleted, sub in winners.groupby(winners["_op"].eq("D"), sort=False):
-            out = sub[payload_names + ["_bucket"]].copy()
-            out["_lsn"] = sub["_elsn"]
-            out["_deleted"] = bool(deleted)
-            tbl = pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        for deleted, mask in ((False, pc.invert(del_mask)), (True, del_mask)):
+            sub = full.filter(mask)
+            if sub.num_rows == 0:
+                continue
             d = os.path.join(
-                stage_dir, f"_bucket_dir={bucket}", f"_del={str(bool(deleted)).lower()}"
+                stage_dir, f"_bucket_dir={bucket}", f"_del={str(deleted).lower()}"
             )
             os.makedirs(d, exist_ok=True)
             final_path = os.path.join(d, f"part-{bucket:05d}.parquet")
             tmp_path = final_path + f".tmp-{uuid.uuid4().hex}"
-            pq.write_table(tbl, tmp_path, compression=compression)
+            pq.write_table(sub, tmp_path, compression=compression)
             os.replace(tmp_path, final_path)  # idempotent under task retry
-            counts[bool(deleted)] = len(sub)
+            counts[deleted] = sub.num_rows
 
         return pd.DataFrame(
             [
@@ -159,6 +224,7 @@ def make_apply_kernel(
                     "_bucket": bucket,
                     "rows_written": counts[False] + counts[True],
                     "tombstones": counts[True],
+                    "stats": _json.dumps(stats),
                 }
             ]
         )
@@ -166,4 +232,4 @@ def make_apply_kernel(
     return kernel
 
 
-APPLY_RESULT_SCHEMA = "_bucket int, rows_written long, tombstones long"
+APPLY_RESULT_SCHEMA = "_bucket int, rows_written long, tombstones long, stats string"

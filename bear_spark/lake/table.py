@@ -277,19 +277,19 @@ class LakeTable:
         ``fence`` is true, already-applied offsets are filtered out and
         the commit log advances atomically with the data.
 
-        Plan shape: one small stats job over the batch (offset
-        high-waters, touched buckets, lateness), then ONE main job in
-        one of two apply modes (``mode`` / $BEAR_MERGE_MODE):
+        Two apply modes (``mode`` / $BEAR_MERGE_MODE):
 
-        - ``"arrow"`` (default): shuffle ONLY the batch by bucket;
-          each task reads its buckets' existing files directly and
-          rewrites them — file-granularity COW via a vectorized Arrow
-          kernel (see lake/arrow_apply.py). The table never crosses
-          the shuffle.
-        - ``"sql"``: union(batch, touched-bucket table rows) →
-          groupBy(bucket, key).max_by(row, (ts, lsn)) → bucket-
-          partitioned write. Pure Catalyst; kept as the oracle-parity
-          and plan-inspection path.
+        - ``"arrow"`` (default): ONE job — shuffle ONLY the batch by
+          bucket; each task reads its buckets' existing files directly,
+          rewrites them (file-granularity COW, vectorized Arrow kernel
+          in lake/arrow_apply.py), and returns its slice of the batch
+          stats (offset ranges, lateness, max event time), which the
+          driver folds into the commit. The table never crosses the
+          shuffle and the batch is scanned exactly once.
+        - ``"sql"``: a small stats job over the batch, then
+          union(batch, touched-bucket table rows) → groupBy(bucket,
+          key).max_by(row, (ts, lsn)) → bucket-partitioned write. Pure
+          Catalyst; kept as the oracle-parity and plan-inspection path.
 
         Row-count metrics come from the parquet footers of the staged
         files (driver-side metadata, no extra scan).
@@ -344,7 +344,7 @@ class LakeTable:
 
         wm = snap["watermark_ts"]
         # segment id = source file (one changelog chunk = one contiguous
-        # offset segment). Must be materialized as a column BELOW the
+        # offset segment). Must be materialized as a column BEFORE any
         # persist boundary: input_file_name() evaluated on top of a
         # cached relation returns "".
         seg_expr = (
@@ -354,213 +354,210 @@ class LakeTable:
             batch.withColumn("_bucket", self._bucket_expr(snap))
             .withColumn("_segment", seg_expr)
         )
-        src = src.persist()
-        try:
-            # ONE small job: per (source_partition, bucket) stats →
-            # emptiness check, offset high-waters, touched buckets,
-            # watermark/lateness accounting. (No Observation API: inside
-            # foreachBatch the optimizer can eliminate observed branches
-            # — e.g. an empty target union side — and `Observation.get`
-            # then blocks forever.)
-            _log("stats job start")
-            part_col = F.col("source_partition") if has_env else F.lit(-1)
-            off_col = F.col("offset") if has_env else F.lit(-1).cast("long")
-            late_col = (
-                (F.col(seq_col) < F.lit(wm).cast("timestamp")).cast("long")
-                if wm
-                else F.lit(0).cast("long")
+
+        new_version = expect_version + 1
+        stage_rel = os.path.join("data", f"s{new_version}")
+        stage_dir = os.path.join(self.root, stage_rel)
+        shuffle_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+
+        _log(f"apply start (mode={mode})")
+        if mode == "arrow":
+            st = self._merge_arrow_job(
+                src, snap, new_schema, stage_dir, shuffle_parts, has_env, wm,
+                key_cols, seq_col,
             )
-            # grouping by input file keeps offset min/max contiguous per
-            # group (each changelog chunk is a contiguous log segment),
-            # so applied ranges are EXACT even when files arrive out of
-            # order. Non-file batches fall into one group per partition;
-            # callers merging ad-hoc DataFrames must pass per-partition
-            # contiguous offset segments. Touched buckets come back as a
-            # collect_set per group (cheaper than a (sp, file, bucket)
-            # cube: O(files) rows to the driver, not O(files x buckets)).
-            stats = (
-                src.groupBy(
-                    part_col.alias("_sp"),
-                    F.col("_segment").alias("_f"),
-                )
-                .agg(
-                    F.min(off_col).alias("lo"),
-                    F.max(off_col).alias("hi"),
-                    F.count(F.lit(1)).alias("c"),
-                    F.max(seq_col).alias("mts"),
-                    F.sum(late_col).alias("late"),
-                    F.collect_set("_bucket").alias("bks"),
-                )
-                .collect()
+        else:
+            st = self._merge_sql_job(
+                src, snap, new_schema, stage_dir, shuffle_parts, has_env, wm,
+                key_cols, seq_col,
             )
-            _log(f"stats done: {len(stats)} groups")
-            touched = sorted({b for r in stats for b in r["bks"]})
-            new_offsets: dict[str, list[list[int]]] = {
-                k: [list(r) for r in v] for k, v in snap["commit_log"].items()
+        if st is None:
+            return {
+                "version": snap["version"],
+                "skipped": True,
+                "rows_in": 0,
+                "reason": "batch empty after exactly-once fence",
             }
-            if has_env:
-                seg: dict[tuple[int, str], list[int]] = {}
-                for r in stats:
-                    k = (int(r["_sp"]), r["_f"])
-                    if k in seg:
-                        seg[k][0] = min(seg[k][0], int(r["lo"]))
-                        seg[k][1] = max(seg[k][1], int(r["hi"]))
-                    else:
-                        seg[k] = [int(r["lo"]), int(r["hi"])]
-                for (sp, _f), rng in seg.items():
-                    new_offsets.setdefault(str(sp), []).append(rng)
-                for k in new_offsets:
-                    new_offsets[k] = _merge_ranges(new_offsets[k])
-            rows_in = sum(int(r["c"]) for r in stats)
-            late_events = sum(int(r["late"] or 0) for r in stats)
-            max_ts = max((r["mts"] for r in stats if r["mts"] is not None), default=None)
+        touched, rows_in, late_events, max_ts, seg = st
 
-            if not touched:
-                return {
-                    "version": snap["version"],
-                    "skipped": True,
-                    "rows_in": 0,
-                    "reason": "batch empty after exactly-once fence",
-                }
+        # fold this batch's contiguous per-(partition, segment) offset
+        # ranges into the commit log
+        new_offsets: dict[str, list[list[int]]] = {
+            k: [list(r) for r in v] for k, v in snap["commit_log"].items()
+        }
+        if has_env:
+            for (sp, _f), rng in seg.items():
+                new_offsets.setdefault(str(sp), []).append(list(rng))
+            for k in new_offsets:
+                new_offsets[k] = _merge_ranges(new_offsets[k])
 
-            def to_events(df: DataFrame, op_col, lsn_col) -> DataFrame:
-                """Project onto the evolved payload schema + (_bucket, _op, _elsn)."""
-                have = set(df.columns)
-                cols = [
-                    (F.col(f.name).cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
-                    for f in new_schema.fields
-                ]
-                return df.select(
-                    *cols, F.col("_bucket"), op_col.alias("_op"), lsn_col.alias("_elsn")
-                )
+        tgt_rows = self._file_rows(snap, touched)
+        _log("apply done, enumerating staged files")
+        new_files = self._enumerate_staged(stage_rel, stage_dir, touched, schema_version)
+        files = dict(snap["files"])
+        files.update(new_files)
+        rows_written = sum(fi["rows"] for fs in new_files.values() for fi in fs)
+        tombstones = sum(
+            fi["rows"] for fs in new_files.values() for fi in fs if fi["deleted"]
+        )
+        new_wm = wm
+        if max_ts is not None:
+            # watermark = max event time seen - allowed lateness
+            import datetime as _dt
 
-            # --- normalize both sides to "event" shape: payload + op + lsn
-            src_evt = to_events(src, F.col("op"), F.col("lsn"))
-            tgt_rows = self._file_rows(snap, touched)
+            cand = (max_ts - _dt.timedelta(seconds=snap["lateness_sec"])).isoformat(sep=" ")
+            if new_wm is None or cand > new_wm:
+                new_wm = cand
 
-            new_version = expect_version + 1
-            stage_rel = os.path.join("data", f"s{new_version}")
-            stage_dir = os.path.join(self.root, stage_rel)
-            shuffle_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            n_part = max(1, min(len(touched), shuffle_parts))
+        metrics = {
+            "version": new_version,
+            "skipped": False,
+            "rows_in": rows_in,
+            "rows_after_fence": rows_in,
+            "late_events": late_events,
+            "target_rows_read": tgt_rows,
+            "rows_written": rows_written,
+            "tombstones": tombstones,
+            "dedup_drops": rows_in + tgt_rows - rows_written,
+            "buckets_touched": len(touched),
+            "schema_changes": changes,
+        }
 
-            _log(f"write job start (mode={mode})")
-            if mode == "arrow":
-                self._apply_arrow(
-                    src_evt, snap, touched, stage_dir, n_part, key_cols, seq_col, new_schema
-                )
-            else:
-                self._apply_sql(
-                    src_evt, snap, touched, stage_dir, n_part, key_cols, seq_col, new_schema
-                )
-            _log("write done, enumerating staged files")
-            new_files = self._enumerate_staged(stage_rel, stage_dir, touched, schema_version)
-            files = dict(snap["files"])
-            files.update(new_files)
-            rows_written = sum(fi["rows"] for fs in new_files.values() for fi in fs)
-            tombstones = sum(
-                fi["rows"] for fs in new_files.values() for fi in fs if fi["deleted"]
-            )
-            new_wm = wm
-            if max_ts is not None:
-                # watermark = max event time seen - allowed lateness
-                import datetime as _dt
+        schemas = dict(snap["schemas"])
+        if changes:
+            schemas[str(schema_version)] = schema_to_json(new_schema)
 
-                cand = (max_ts - _dt.timedelta(seconds=snap["lateness_sec"])).isoformat(sep=" ")
-                if new_wm is None or cand > new_wm:
-                    new_wm = cand
-
-            metrics = {
-                "version": new_version,
-                "skipped": False,
-                "rows_in": rows_in,
-                "rows_after_fence": rows_in,
-                "late_events": late_events,
-                "target_rows_read": tgt_rows,
-                "rows_written": rows_written,
-                "tombstones": tombstones,
-                "dedup_drops": rows_in + tgt_rows - rows_written,
-                "buckets_touched": len(touched),
-                "schema_changes": changes,
-            }
-
-            schemas = dict(snap["schemas"])
-            if changes:
-                schemas[str(schema_version)] = schema_to_json(new_schema)
-
-            new_snap = {
-                **snap,
-                "version": new_version,
-                "schemas": schemas,
-                "current_schema_version": schema_version,
-                "files": files,
-                "commit_log": new_offsets,
-                "watermark_ts": new_wm,
-                "lineage": (snap["lineage"] + [metrics])[-200:],
-            }
-            # phase 2: atomic metadata swap (aborts → staged files orphaned,
-            # cleaned by vacuum(); the table itself is untouched)
-            self._write_snapshot(new_snap, expect_version=expect_version)
-            return metrics
-        finally:
-            src.unpersist()
+        new_snap = {
+            **snap,
+            "version": new_version,
+            "schemas": schemas,
+            "current_schema_version": schema_version,
+            "files": files,
+            "commit_log": new_offsets,
+            "watermark_ts": new_wm,
+            "lineage": (snap["lineage"] + [metrics])[-200:],
+        }
+        # phase 2: atomic metadata swap (aborts → staged files orphaned,
+        # cleaned by vacuum(); the table itself is untouched)
+        self._write_snapshot(new_snap, expect_version=expect_version)
+        return metrics
 
     # ------------------------------------------------- apply strategies
-    def _apply_arrow(
+    @staticmethod
+    def _align_to(df: DataFrame, schema: T.StructType, *extra) -> DataFrame:
+        have = set(df.columns)
+        cols = [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols, *extra)
+
+    def _merge_arrow_job(
         self,
-        src_evt: DataFrame,
+        src: DataFrame,
         snap: dict,
-        touched: Sequence[int],
+        new_schema: T.StructType,
         stage_dir: str,
-        n_part: int,
+        shuffle_parts: int,
+        has_env: bool,
+        wm: str | None,
         key_cols: Sequence[str],
         seq_col: str,
-        new_schema: T.StructType,
-    ) -> None:
-        """File-granularity COW: shuffle only the batch, by bucket; each
-        task reads its buckets' existing files directly and writes the
-        replacements (vectorized Arrow kernel, lake/arrow_apply.py).
-        The table rows never cross the shuffle — at steady state this
-        moves O(batch) bytes where the SQL path moves O(batch + table).
+    ):
+        """File-granularity COW in ONE job: shuffle only the batch, by
+        bucket; each task reads its buckets' existing files directly,
+        writes the replacements (vectorized Arrow kernel,
+        lake/arrow_apply.py), and returns its batch-stats slice. The
+        table rows never cross the shuffle — at steady state this moves
+        O(batch) bytes where the SQL path moves O(batch + table).
+
+        Returns (touched, rows_in, late_events, max_ts, seg_ranges), or
+        None if the batch is empty after the exactly-once fence.
         """
+        import json as _json
+
         from bear_spark.lake.arrow_apply import APPLY_RESULT_SCHEMA, make_apply_kernel
 
+        part_col = F.col("source_partition").cast("int") if has_env else F.lit(-1)
+        off_col = F.col("offset").cast("long") if has_env else F.lit(-1).cast("long")
+        src_evt = self._align_to(
+            src,
+            new_schema,
+            F.col("_bucket"),
+            F.col("op").alias("_op"),
+            F.col("lsn").alias("_elsn"),
+            part_col.alias("_sp"),
+            off_col.alias("_off"),
+            F.col("_segment"),
+        )
         files_by_bucket = {
-            int(b): [
-                os.path.join(self.root, fi["path"])
-                for fi in snap["files"].get(str(b), [])
-            ]
-            for b in touched
+            int(b): [os.path.join(self.root, fi["path"]) for fi in fs]
+            for b, fs in snap["files"].items()
         }
-        target_json = schema_to_json(new_schema)
         kernel = make_apply_kernel(
-            files_by_bucket, target_json, stage_dir, list(key_cols), seq_col
+            files_by_bucket,
+            schema_to_json(new_schema),
+            stage_dir,
+            list(key_cols),
+            seq_col,
+            wm_iso=wm,
         )
         # pin the partition count: REPARTITION_BY_NUM both defeats AQE
         # coalescing (sized on the small batch-side shuffle, blind to
         # the table files each task will read) and satisfies the
         # clustered distribution applyInPandas requires — no second
         # exchange.
-        (
+        n_part = max(1, min(int(snap["num_buckets"]), shuffle_parts))
+        res = (
             src_evt.repartition(n_part, "_bucket")
             .groupBy("_bucket")
             .applyInPandas(kernel, APPLY_RESULT_SCHEMA)
             .collect()
         )
+        if not res:
+            return None
 
-    def _apply_sql(
+        import pandas as pd
+
+        touched = sorted(int(r["_bucket"]) for r in res)
+        rows_in = late_events = 0
+        max_ts = None
+        seg: dict[tuple[int, str], list[int]] = {}
+        for r in res:
+            for s in _json.loads(r["stats"]):
+                rows_in += s["c"]
+                late_events += s["late"]
+                if s["mts"] is not None:
+                    t = pd.Timestamp(s["mts"]).to_pydatetime()
+                    if max_ts is None or t > max_ts:
+                        max_ts = t
+                k = (int(s["sp"]), s["f"])
+                if k in seg:
+                    seg[k][0] = min(seg[k][0], s["lo"])
+                    seg[k][1] = max(seg[k][1], s["hi"])
+                else:
+                    seg[k] = [s["lo"], s["hi"]]
+        return touched, rows_in, late_events, max_ts, seg
+
+    def _merge_sql_job(
         self,
-        src_evt: DataFrame,
+        src: DataFrame,
         snap: dict,
-        touched: Sequence[int],
+        new_schema: T.StructType,
         stage_dir: str,
-        n_part: int,
+        shuffle_parts: int,
+        has_env: bool,
+        wm: str | None,
         key_cols: Sequence[str],
         seq_col: str,
-        new_schema: T.StructType,
-    ) -> None:
-        """Catalyst COW: union batch + touched-bucket table rows, LWW
-        via groupBy(bucket, key).max_by, bucket-partitioned write.
+    ):
+        """Catalyst COW: a small stats job over the (cached) batch, then
+        union batch + touched-bucket table rows, LWW via
+        groupBy(bucket, key).max_by, bucket-partitioned write.
 
         repartition on _bucket gives HashPartitioning(_bucket), which
         SATISFIES the clustered distribution required by
@@ -573,51 +570,95 @@ class LakeTable:
         keeps the shuffle balanced (balls-in-bins evens out when
         #buckets >> #partitions) while num_buckets independently sets
         COW rewrite granularity and file size at scale.
+
+        Returns (touched, rows_in, late_events, max_ts, seg_ranges),
+        or None if the batch is empty after the exactly-once fence.
         """
-        tgt = self._read_files(snap, touched)
-        tgt_evt = (
-            tgt.withColumn(
-                "_op", F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U"))
+        src = src.persist()
+        try:
+            # stats job: per (source_partition, segment) offset ranges
+            # (contiguous per changelog chunk), row/late counts, max
+            # event time, touched buckets via collect_set. (No
+            # Observation API: inside foreachBatch the optimizer can
+            # eliminate observed branches and `Observation.get` then
+            # blocks forever.)
+            part_col = F.col("source_partition") if has_env else F.lit(-1)
+            off_col = F.col("offset") if has_env else F.lit(-1).cast("long")
+            late_col = (
+                (F.col(seq_col) < F.lit(wm).cast("timestamp")).cast("long")
+                if wm
+                else F.lit(0).cast("long")
             )
-            .withColumn("_elsn", F.col("_lsn"))
-            .drop("_lsn", "_deleted")
-        )
-        # align target to the evolved payload schema + event columns
-        have = set(tgt_evt.columns)
-        tgt_evt = tgt_evt.select(
-            *[
-                (
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in have
-                    else F.lit(None).cast(f.dataType)
-                ).alias(f.name)
-                for f in new_schema.fields
-            ],
-            "_bucket",
-            "_op",
-            "_elsn",
-        )
-        unioned = src_evt.unionByName(tgt_evt).repartition(n_part, "_bucket")
-        row = F.struct(*[F.col(c) for c in unioned.columns])
-        seq = F.struct(F.col(seq_col), F.col("_elsn"))
-        winner = (
-            unioned.groupBy("_bucket", *key_cols)
-            .agg(F.max_by(row, seq).alias("_row"))
-            .select("_row.*")
-        )
-        final = winner.select(
-            *[F.col(f.name) for f in new_schema.fields],
-            F.col("_bucket"),
-            F.col("_elsn").alias("_lsn"),
-            (F.col("_op") == "D").alias("_deleted"),
-        )
-        (
-            final.withColumn("_bucket_dir", F.col("_bucket"))
-            .withColumn("_del", F.col("_deleted"))
-            .write.partitionBy("_bucket_dir", "_del")
-            .mode("overwrite")
-            .parquet(stage_dir)
-        )
+            stats = (
+                src.groupBy(part_col.alias("_sp"), F.col("_segment").alias("_f"))
+                .agg(
+                    F.min(off_col).alias("lo"),
+                    F.max(off_col).alias("hi"),
+                    F.count(F.lit(1)).alias("c"),
+                    F.max(seq_col).alias("mts"),
+                    F.sum(late_col).alias("late"),
+                    F.collect_set("_bucket").alias("bks"),
+                )
+                .collect()
+            )
+            touched = sorted({b for r in stats for b in r["bks"]})
+            if not touched:
+                return None
+            rows_in = sum(int(r["c"]) for r in stats)
+            late_events = sum(int(r["late"] or 0) for r in stats)
+            max_ts = max((r["mts"] for r in stats if r["mts"] is not None), default=None)
+            seg: dict[tuple[int, str], list[int]] = {}
+            for r in stats:
+                k = (int(r["_sp"]), r["_f"])
+                lo, hi = int(r["lo"]), int(r["hi"])
+                if k in seg:
+                    seg[k][0] = min(seg[k][0], lo)
+                    seg[k][1] = max(seg[k][1], hi)
+                else:
+                    seg[k] = [lo, hi]
+
+            src_evt = self._align_to(
+                src,
+                new_schema,
+                F.col("_bucket"),
+                F.col("op").alias("_op"),
+                F.col("lsn").alias("_elsn"),
+            )
+            tgt = self._read_files(snap, touched)
+            tgt_evt = self._align_to(
+                tgt.withColumn(
+                    "_op", F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U"))
+                ).withColumn("_elsn", F.col("_lsn")),
+                new_schema,
+                "_bucket",
+                "_op",
+                "_elsn",
+            )
+            n_part = max(1, min(len(touched), shuffle_parts))
+            unioned = src_evt.unionByName(tgt_evt).repartition(n_part, "_bucket")
+            row = F.struct(*[F.col(c) for c in unioned.columns])
+            seq_s = F.struct(F.col(seq_col), F.col("_elsn"))
+            winner = (
+                unioned.groupBy("_bucket", *key_cols)
+                .agg(F.max_by(row, seq_s).alias("_row"))
+                .select("_row.*")
+            )
+            final = winner.select(
+                *[F.col(f.name) for f in new_schema.fields],
+                F.col("_bucket"),
+                F.col("_elsn").alias("_lsn"),
+                (F.col("_op") == "D").alias("_deleted"),
+            )
+            (
+                final.withColumn("_bucket_dir", F.col("_bucket"))
+                .withColumn("_del", F.col("_deleted"))
+                .write.partitionBy("_bucket_dir", "_del")
+                .mode("overwrite")
+                .parquet(stage_dir)
+            )
+            return touched, rows_in, late_events, max_ts, seg
+        finally:
+            src.unpersist()
 
     # ------------------------------------------------------- maintenance
     def compact(self, target_files_per_bucket: int = 1) -> None:

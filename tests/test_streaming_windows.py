@@ -62,6 +62,33 @@ def test_session_window_stream(spark, tmp_path):
     assert out["total"] <= 2000
 
 
+def test_stateful_conversation_progress(spark, tmp_path):
+    from bear_spark.streaming.stateful import conversation_progress
+
+    ev, path = _write_log(spark, tmp_path, n=3000, seed=21)
+    stream = spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(path)
+    prog = conversation_progress(stream, watermark="1 hour", idle_timeout_ms=30 * 60 * 1000)
+    _run_stream(prog, "progress_out")
+    out = spark.sql(
+        "SELECT conv_id, max(turns) AS turns, max(total_chars) AS chars, "
+        "bool_or(closed) AS any_closed FROM progress_out GROUP BY conv_id"
+    ).toPandas()
+    exp = (
+        ev.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("turns"), F.sum(F.length("text")).alias("chars"))
+        .toPandas()
+    )
+    got = out.set_index("conv_id")
+    want = exp.set_index("conv_id")
+    assert set(got.index) == set(want.index)
+    # cumulative counters must equal the full per-conversation totals
+    merged = got.join(want, lsuffix="_g", rsuffix="_w")
+    assert (merged["turns_g"] == merged["turns_w"]).all()
+    assert (merged["chars_g"] == merged["chars_w"]).all()
+    # idle conversations beyond the watermark horizon get finalized
+    assert out["any_closed"].any()
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     ev, path = _write_log(spark, tmp_path, n=3000, seed=13)
     stream = spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(path)
