@@ -88,6 +88,14 @@ def make_apply_kernel(
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        # one Arrow thread per task: parallelism belongs to Spark (one
+        # python worker per core); Arrow's default pool (all machine
+        # cores) would oversubscribe — and silently use cores the
+        # cluster manager never granted this executor
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+
         bucket = int(pdf["_bucket"].iloc[0])
 
         # --- batch stats for this bucket's slice ----------------------

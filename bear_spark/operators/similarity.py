@@ -62,6 +62,80 @@ def rp_lsh_bucket_expr(vec_col: str, planes: list[list[float]]):
     return bucket
 
 
+def ivf_fit_centroids(
+    vecs: DataFrame,
+    n_lists: int,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: k-means centroids over the
+    vector column (distributed MLlib k-means; deterministic via seed).
+    At 100 TB you fit on a sample (`df.sample`) — centroid quality
+    needs only ~256 points per list."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vecs.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feat)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def ivf_assign_expr(vec_col: str, centroids: list[list[float]]):
+    """Column expr: index of the nearest centroid (inverted-list id).
+
+    Pure JVM: argmin over squared L2 distances computed with
+    zip_with/aggregate — the assignment runs inside codegen at scan
+    time, so list ids can be precomputed and partitioned on.
+    """
+    best_id = F.lit(0)
+    best_d = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            better = d < best_d
+            best_id = F.when(better, F.lit(i)).otherwise(best_id)
+            best_d = F.when(better, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_ann_topk(
+    vecs: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` inverted lists whose
+    centroids are nearest the query, score exactly within them.
+
+    At scale the list id is a precomputed partition column, so probing
+    reads only those partitions (partition pruning); here it is an
+    assignment expression filtered at scan."""
+    qv = np.asarray(query, dtype=float)
+    dists = [float(np.sum((qv - np.asarray(c)) ** 2)) for c in centroids]
+    probe = sorted(np.argsort(dists)[:n_probe].tolist())
+    assigned = vecs.withColumn("_list", ivf_assign_expr(vec_col, centroids))
+    cand = assigned.filter(F.col("_list").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(id_col, F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def lsh_ann_topk(
     vecs: DataFrame,
     query: list[float],

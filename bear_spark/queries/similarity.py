@@ -143,6 +143,20 @@ def vector_search_filtered(spark, sf_dir):
     )
 
 
+@query("ivf_ann_topk")  # approximate → rows-only check (like lsh_ann_topk)
+def ivf_ann_topk_q(spark, sf_dir):
+    """IVF approximate nearest neighbours: k-means coarse quantizer →
+    probe the nearest inverted lists → exact cosine within candidates
+    (operators/similarity.py). The scale path: list id is a partition
+    column, probing = partition pruning."""
+    from bear_spark.operators import similarity as S
+
+    e = t(spark, sf_dir, "embeddings")
+    qvec = [r[0] for r in e.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    cents = S.ivf_fit_centroids(e, n_lists=8, seed=7)
+    return S.ivf_ann_topk(e.filter(F.col("vec_id") != 0), qvec, cents, k=10, n_probe=3)
+
+
 @query(
     "doc_embed_text",
     """

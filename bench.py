@@ -63,6 +63,10 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     workdir = workdir or f"{base}/bear_bench_{os.getpid()}"
+    # bucket count sets COW granularity and file size; at bench scale
+    # (~8M live rows) 64 buckets keeps files big enough that per-file
+    # open/footer overhead stays negligible, while still >> cores
+    num_buckets = int(os.environ.get("BENCH_NUM_BUCKETS", "64"))
     shutil.rmtree(workdir, ignore_errors=True)
     log_dir = os.path.join(workdir, "changelog")
 
@@ -87,7 +91,7 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
         os.path.join(workdir, "tbl"),
         TRANSCRIPT_SCHEMA,
         key_cols=KEY_COLS,
-        num_buckets=256,
+        num_buckets=num_buckets,
         overwrite=True,
     )
 
@@ -99,7 +103,7 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
         os.path.join(workdir, "warm"),
         TRANSCRIPT_SCHEMA,
         key_cols=KEY_COLS,
-        num_buckets=256,
+        num_buckets=num_buckets,
         overwrite=True,
     )
     warm.merge(change_events(spark, 50_000, n_source_partitions=32))
@@ -134,7 +138,19 @@ def main() -> None:
     n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "8"))
     mode = os.environ.get("BENCH_MODE", "all")
 
-    spark = get_spark(app_name="bear_bench", cores=cpus, shuffle_partitions=2 * cpus)
+    extra = {}
+    if os.environ.get("BENCH_JAVA_OPTS"):
+        # e.g. "-Xms16g -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages":
+        # pre-faulting the heap at startup keeps first-touch page-fault
+        # storms (expensive in VMs) out of the timed region
+        extra["spark.driver.extraJavaOptions"] = os.environ["BENCH_JAVA_OPTS"]
+    spark = get_spark(
+        app_name="bear_bench",
+        cores=cpus,
+        shuffle_partitions=2 * cpus,
+        driver_memory=os.environ.get("BENCH_DRIVER_MEM", "48g"),
+        extra_conf=extra,
+    )
 
     cdc = bench_cdc(spark, n_events, n_batches)
 

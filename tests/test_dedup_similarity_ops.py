@@ -121,3 +121,20 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.8, f"ANN recall too low: {recall} ({approx} vs {exact})"
+
+
+def test_ivf_ann_full_probe_equals_exact(spark):
+    """Probing every inverted list = exhaustive search: IVF with
+    n_probe=n_lists must return exactly the brute-force top-k; a
+    narrow probe must still reach decent recall."""
+    from bear_spark.operators.similarity import ivf_ann_topk, ivf_fit_centroids
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    query = vecs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    cents = ivf_fit_centroids(vecs, n_lists=8, seed=7)
+    exact = [r["vec_id"] for r in cosine_topk(vecs, query, 10).collect()]
+    full = [r["vec_id"] for r in ivf_ann_topk(vecs, query, cents, k=10, n_probe=8).collect()]
+    assert full == exact
+    narrow = [r["vec_id"] for r in ivf_ann_topk(vecs, query, cents, k=10, n_probe=3).collect()]
+    recall = len(set(exact) & set(narrow)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

@@ -21,7 +21,16 @@ def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    spark = get_spark(app_name=f"profile{cores}", cores=cores, shuffle_partitions=2 * cores)
+    extra = {}
+    if os.environ.get("BEAR_JAVA_OPTS"):
+        extra["spark.driver.extraJavaOptions"] = os.environ["BEAR_JAVA_OPTS"]
+    spark = get_spark(
+        app_name=f"profile{cores}",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        driver_memory=os.environ.get("BEAR_DRIVER_MEM", "48g"),
+        extra_conf=extra,
+    )
     out = bench_cdc(spark, n_events, n_batches)
     print(f"RESULT cores={cores}: {out}")
 
