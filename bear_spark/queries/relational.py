@@ -447,3 +447,31 @@ def point_lookup_orders(spark, sf_dir):
     return o.filter(F.col("o_orderkey").isin(1, 42, 4242, 9999)).select(
         "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+@query(
+    "struct_flatten_entity",
+    """
+    SELECT o_orderkey, UNNEST(s)
+    FROM (
+      SELECT o_orderkey,
+             {'cust': o_custkey, 'status': o_orderstatus,
+              'price': round(o_totalprice, 2)} AS s
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    """,
+)
+def struct_flatten_entity(spark, sf_dir):
+    """Nested-struct flatten (SURVEY §2.7 J5): the reference merges a
+    nested 'entity' dict into the top level (reference:
+    bear/reranker.py:61-62); Spark-native form is select("s.*")."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+        ).alias("s"),
+    )
+    return nested.select("o_orderkey", "s.*")
