@@ -12,9 +12,13 @@ change-events/sec — and (b) the headline operator queries at
 Env knobs:
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] cores (default 32)
-  BENCH_CDC_EVENTS     CDC replay size (default 2_000_000)
+  BENCH_CDC_EVENTS     CDC replay size (default 16_000_000)
+  BENCH_CDC_BATCHES    micro-batches (default 4)
+  BENCH_NUM_BUCKETS    table buckets (default 64)
   BENCH_MODE           "all" (default) | "cdc" (replay only, for the
                        scaling-efficiency runs in BENCH/)
+  BENCH_DRIVER_MEM / BENCH_JAVA_OPTS  JVM sizing (defaults pre-fault
+                       the heap so page-fault storms stay untimed)
 """
 
 from __future__ import annotations
@@ -134,22 +138,23 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "2000000"))
-    n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "8"))
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "16000000"))
+    n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
     mode = os.environ.get("BENCH_MODE", "all")
 
-    extra = {}
-    if os.environ.get("BENCH_JAVA_OPTS"):
-        # e.g. "-Xms16g -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages":
-        # pre-faulting the heap at startup keeps first-touch page-fault
-        # storms (expensive in VMs) out of the timed region
-        extra["spark.driver.extraJavaOptions"] = os.environ["BENCH_JAVA_OPTS"]
+    mem = os.environ.get("BENCH_DRIVER_MEM", "16g")
+    # pre-faulting the heap at startup keeps first-touch page-fault
+    # storms (expensive in VMs) out of the timed region
+    opts = os.environ.get(
+        "BENCH_JAVA_OPTS",
+        f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages",
+    )
     spark = get_spark(
         app_name="bear_bench",
         cores=cpus,
         shuffle_partitions=2 * cpus,
-        driver_memory=os.environ.get("BENCH_DRIVER_MEM", "48g"),
-        extra_conf=extra,
+        driver_memory=mem,
+        extra_conf={"spark.driver.extraJavaOptions": opts} if opts else {},
     )
 
     cdc = bench_cdc(spark, n_events, n_batches)
