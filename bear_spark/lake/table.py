@@ -378,7 +378,7 @@ class LakeTable:
                 "rows_in": 0,
                 "reason": "batch empty after exactly-once fence",
             }
-        touched, rows_in, late_events, max_ts, seg = st
+        touched, rows_in, late_events, max_ts, seg, per_partition = st
 
         # fold this batch's contiguous per-(partition, segment) offset
         # ranges into the commit log
@@ -421,6 +421,9 @@ class LakeTable:
             "dedup_drops": rows_in + tgt_rows - rows_written,
             "buckets_touched": len(touched),
             "schema_changes": changes,
+            # per-source-partition applied-row lineage (north rule:
+            # per-partition lineage/metrics); -1 = envelope-less batch
+            "rows_by_partition": {str(k): v for k, v in sorted(per_partition.items())},
         }
 
         schemas = dict(snap["schemas"])
@@ -527,10 +530,12 @@ class LakeTable:
         rows_in = late_events = 0
         max_ts = None
         seg: dict[tuple[int, str], list[int]] = {}
+        per_partition: dict[int, int] = {}
         for r in res:
             for s in _json.loads(r["stats"]):
                 rows_in += s["c"]
                 late_events += s["late"]
+                per_partition[int(s["sp"])] = per_partition.get(int(s["sp"]), 0) + s["c"]
                 if s["mts"] is not None:
                     t = pd.Timestamp(s["mts"]).to_pydatetime()
                     if max_ts is None or t > max_ts:
@@ -541,7 +546,7 @@ class LakeTable:
                     seg[k][1] = max(seg[k][1], s["hi"])
                 else:
                     seg[k] = [s["lo"], s["hi"]]
-        return touched, rows_in, late_events, max_ts, seg
+        return touched, rows_in, late_events, max_ts, seg, per_partition
 
     def _merge_sql_job(
         self,
@@ -608,8 +613,10 @@ class LakeTable:
             late_events = sum(int(r["late"] or 0) for r in stats)
             max_ts = max((r["mts"] for r in stats if r["mts"] is not None), default=None)
             seg: dict[tuple[int, str], list[int]] = {}
+            per_partition: dict[int, int] = {}
             for r in stats:
                 k = (int(r["_sp"]), r["_f"])
+                per_partition[k[0]] = per_partition.get(k[0], 0) + int(r["c"])
                 lo, hi = int(r["lo"]), int(r["hi"])
                 if k in seg:
                     seg[k][0] = min(seg[k][0], lo)
@@ -656,7 +663,7 @@ class LakeTable:
                 .mode("overwrite")
                 .parquet(stage_dir)
             )
-            return touched, rows_in, late_events, max_ts, seg
+            return touched, rows_in, late_events, max_ts, seg, per_partition
         finally:
             src.unpersist()
 

@@ -160,3 +160,40 @@ def test_lineage_metrics_recorded(spark, table):
     assert hist[-1]["rows_written"] == m["rows_written"]
     assert m["dedup_drops"] >= 0
     assert m["buckets_touched"] >= 1
+    # per-source-partition lineage covers every applied row
+    assert sum(m["rows_by_partition"].values()) == 3000
+    assert len(m["rows_by_partition"]) == 8  # generator default shards
+
+
+def test_compact_and_vacuum_preserve_state(spark, table, events_pdf):
+    ev = change_events(spark, N_EVENTS, n_convs=60, seed=7)
+    for lo in range(0, N_EVENTS, 2500):
+        table.merge(ev.filter((ev.lsn >= lo) & (ev.lsn < lo + 2500)))
+    before = _live_state(table).sort_values(KEY_COLS).reset_index(drop=True)
+    n_files_before = sum(len(v) for v in table.snapshot["files"].values())
+    table.compact()
+    removed = table.vacuum()
+    assert removed, "vacuum must reclaim superseded staging dirs"
+    after = _live_state(table).sort_values(KEY_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(before, after, check_like=True)
+    assert sum(len(v) for v in table.snapshot["files"].values()) <= n_files_before
+    # fencing still intact after compaction (commit log untouched)
+    m = table.merge(ev.filter(ev.lsn < 2500))
+    assert m["skipped"]
+
+
+def test_merge_under_extreme_key_skew_matches_oracle(spark, tmp_path):
+    """Half of all events hammer two conv_ids (hot keys). LWW must
+    collapse them and the final state must equal the oracle."""
+    from bear_spark import oracle as _oracle
+
+    ev = change_events(
+        spark, 8000, n_convs=40, seed=17, hot_key_pct=50, n_hot_keys=2
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "skew"), TRANSCRIPT_SCHEMA, key_cols=KEY_COLS, num_buckets=8
+    )
+    for lo in range(0, 8000, 2000):
+        t.merge(ev.filter((ev.lsn >= lo) & (ev.lsn < lo + 2000)))
+    expected = _oracle.replay(ev.toPandas())
+    _oracle.assert_states_equal(t.read().toPandas(), expected)
