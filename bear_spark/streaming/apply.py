@@ -42,6 +42,7 @@ class CDCApplier:
         checkpoint_dir: str,
         metrics_dir: str | None = None,
         max_files_per_trigger: int = 4,
+        compact_every: int = 0,
     ):
         self.spark = spark
         self.table = table
@@ -49,6 +50,11 @@ class CDCApplier:
         self.checkpoint_dir = checkpoint_dir
         self.metrics_dir = metrics_dir or os.path.join(checkpoint_dir, "..", "metrics")
         self.max_files_per_trigger = max_files_per_trigger
+        # bound small-file accumulation on long streams: every N applied
+        # (non-skipped) batches, rewrite each bucket into one file and
+        # vacuum superseded staging dirs. 0 disables.
+        self.compact_every = compact_every
+        self._applied_since_compact = 0
         self.batch_metrics: list[dict] = []
 
     # -- foreachBatch body -------------------------------------------------
@@ -57,6 +63,12 @@ class CDCApplier:
         m["epoch_id"] = epoch_id
         self.batch_metrics.append(m)
         self._write_metrics(m)
+        if not m.get("skipped"):
+            self._applied_since_compact += 1
+            if self.compact_every and self._applied_since_compact >= self.compact_every:
+                self.table.compact()
+                self.table.vacuum()
+                self._applied_since_compact = 0
 
     def _write_metrics(self, m: dict) -> None:
         row = {

@@ -86,6 +86,22 @@ def test_stream_replay_whole_log_is_fenced(spark, tmp_path, log_and_oracle):
     oracle.assert_states_equal(table.read().toPandas(), state1)
 
 
+def test_stream_with_auto_compaction_matches_oracle(spark, tmp_path, log_and_oracle):
+    log_dir, files, expected = log_and_oracle
+    table = _mk_table(spark, tmp_path)
+    app = CDCApplier(
+        spark, table, log_dir, str(tmp_path / "ckpt"), str(tmp_path / "metrics"),
+        max_files_per_trigger=2, compact_every=2,
+    )
+    app.run_available()
+    oracle.assert_states_equal(table.read().toPandas(), expected)
+    # compaction bounded file count: at most one live + one tombstone
+    # file per bucket right after a compact cycle, and never more than
+    # a couple of merges' worth in between
+    n_files = sum(len(v) for v in table.snapshot["files"].values())
+    assert n_files <= 2 * len(table.snapshot["files"]) + 8
+
+
 def test_raw_json_parse_paths_agree(spark, tmp_path):
     ev = change_events(spark, 2000, n_convs=20, seed=33)
     raw_dir = str(tmp_path / "raw")
