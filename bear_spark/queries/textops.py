@@ -331,3 +331,40 @@ def ngram_jaccard_pairs(spark, sf_dir):
         .filter(jac >= 0.2)
         .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query(
+    "validate_quarantine_docs",
+    """
+    SELECT reason, count(*) AS n FROM (
+      SELECT CASE
+        WHEN doc_id IS NULL THEN 'null_key'
+        WHEN text IS NULL OR length(text) = 0 THEN 'empty_text'
+        WHEN lang NOT IN ('en', 'zh', 'es') THEN 'rare_lang'
+        WHEN n_chars < 200 THEN 'short_text'
+        ELSE '__good__' END AS reason
+      FROM documents
+    ) GROUP BY reason
+    """,
+)
+def validate_quarantine_docs(spark, sf_dir):
+    """Row validation with quarantine side-output (SURVEY §2.2 P9/P2):
+    declarative rules → one vectorized pass → good split + quarantined
+    split with first-violated-rule reason (reference analog: per-row
+    try/except skip at bear/ingest.py:38-44). Returns reject counts by
+    reason plus the surviving-row count."""
+    from bear_spark.operators.validate import validate
+
+    d = t(spark, sf_dir, "documents")
+    rules = {
+        "null_key": F.col("doc_id").isNull(),
+        "empty_text": F.col("text").isNull() | (F.length("text") == 0),
+        "rare_lang": ~F.col("lang").isin("en", "zh", "es"),
+        "short_text": F.col("n_chars") < 200,
+    }
+    good, bad = validate(d, rules)
+    return bad.groupBy(F.col("_reject_reason").alias("reason")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).unionByName(
+        good.agg(F.count(F.lit(1)).alias("n")).select(F.lit("__good__").alias("reason"), "n")
+    )
