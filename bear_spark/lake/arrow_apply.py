@@ -211,8 +211,16 @@ def make_apply_kernel(
             ],
             schema=out_schema,
         )
+        # sort data files by key: prefix-compresses conv_id runs, gives
+        # min/max pruning tight ranges, and makes per-conversation
+        # reads sequential (the lake sort-order spec)
+        full = full.sort_by([(k, "ascending") for k in key_cols])
+        live_col = full.column("_deleted")
         counts = {False: 0, True: 0}
-        for deleted, mask in ((False, pc.invert(del_mask)), (True, del_mask)):
+        for deleted, mask in (
+            (False, pc.invert(live_col.combine_chunks())),
+            (True, live_col.combine_chunks()),
+        ):
             sub = full.filter(mask)
             if sub.num_rows == 0:
                 continue

@@ -266,6 +266,32 @@ class LakeTable:
             df = df.drop("_lsn", "_deleted", "_bucket")
         return df
 
+    def lookup(self, *key_values) -> DataFrame:
+        """Point lookup by bucket-column value(s): computes the bucket
+        driver-side and scans ONLY that bucket's files (plus the parquet
+        min/max pruning inside them — data files are key-sorted).
+        Reference analog: `client.get(ids=[...])` point reads
+        (reference: docs/examples/milvus_engine_access.ipynb)."""
+        snap = self._snapshot()
+        payload = self.payload_schema(snap)
+        # hash with the bucket columns' REAL types: xxhash64 is
+        # type-sensitive, so a stringly-typed probe would land in the
+        # wrong bucket for non-string keys
+        fields = [payload[c] for c in snap["bucket_cols"]]
+        row = self.spark.createDataFrame(
+            [tuple(key_values)], T.StructType(fields)
+        )
+        bucket = row.select(
+            F.pmod(
+                F.xxhash64(*[F.col(f.name) for f in fields]),
+                F.lit(snap["num_buckets"]),
+            ).cast("int")
+        ).collect()[0][0]
+        df = self.read(buckets=[bucket])
+        for col, val in zip(snap["bucket_cols"], key_values):
+            df = df.filter(F.col(col) == val)
+        return df
+
     # ------------------------------------------------------------ MERGE
     def merge(
         self, batch: DataFrame, fence: bool = True, mode: str | None = None

@@ -182,6 +182,19 @@ def test_compact_and_vacuum_preserve_state(spark, table, events_pdf):
     assert m["skipped"]
 
 
+def test_point_lookup_prunes_to_one_bucket(spark, table, events_pdf):
+    ev = change_events(spark, N_EVENTS, n_convs=60, seed=7)
+    table.merge(ev)
+    full = table.read().toPandas()
+    conv = full["conv_id"].iloc[0]
+    got = table.lookup(conv).toPandas().sort_values(KEY_COLS).reset_index(drop=True)
+    want = (
+        full[full["conv_id"] == conv].sort_values(KEY_COLS).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+    assert len(got) > 0
+
+
 def test_merge_under_extreme_key_skew_matches_oracle(spark, tmp_path):
     """Half of all events hammer two conv_ids (hot keys). LWW must
     collapse them and the final state must equal the oracle."""
