@@ -12,7 +12,7 @@ change-events/sec — and (b) the headline operator queries at
 Env knobs:
   SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] cores (default 32)
-  BENCH_CDC_EVENTS     CDC replay size (default 16_000_000)
+  BENCH_CDC_EVENTS     CDC replay size (default 32_000_000)
   BENCH_CDC_BATCHES    micro-batches (default 4)
   BENCH_NUM_BUCKETS    table buckets (default 64)
   BENCH_MODE           "all" (default) | "cdc" (replay only, for the
@@ -138,7 +138,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "16000000"))
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "32000000"))
     n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
     mode = os.environ.get("BENCH_MODE", "all")
 
