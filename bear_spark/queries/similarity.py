@@ -78,20 +78,28 @@ def cosine_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup detection, blocked by label (the
     LSH-bucket stand-in): pairs within a block with cosine ≥ 0.9. At
     scale the block key comes from LSH (operators/similarity.py), so
-    the join is an equi-join, never a cross join."""
-    e = t(spark, sf_dir, "embeddings")
+    the join is an equi-join, never a cross join. Norms are computed
+    once per ROW before the self-join (O(n) norms instead of O(pairs)
+    — each pair then costs one dot product)."""
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     a = e.alias("a")
     b = e.alias("b")
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     )
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
-    return pairs.filter(cos >= 0.9).select(
-        F.col("a.vec_id").alias("id1"),
-        F.col("b.vec_id").alias("id2"),
-        F.round(cos, 4).alias("cos_sim"),
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= 0.9)  # dot computed once per pair
+        .select("id1", "id2", F.round("_cos", 4).alias("cos_sim"))
     )
 
 
