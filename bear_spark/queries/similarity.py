@@ -211,3 +211,26 @@ def multimodal_decode_meta(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return decode_binary_meta(d, id_col="doc_id", payload_col="payload")
+
+
+@query(
+    "embed_documents_deterministic",
+    """
+    SELECT doc_id,
+           round(CAST(('0x' || substr(md5(text || '#0'), 1, 4))::BIGINT AS DOUBLE) / 65535.0, 6) AS e0,
+           round(CAST(('0x' || substr(md5(text || '#1'), 1, 4))::BIGINT AS DOUBLE) / 65535.0, 6) AS e1,
+           round(CAST(('0x' || substr(md5(text || '#2'), 1, 4))::BIGINT AS DOUBLE) / 65535.0, 6) AS e2,
+           round(CAST(('0x' || substr(md5(text || '#3'), 1, 4))::BIGINT AS DOUBLE) / 65535.0, 6) AS e3
+    FROM documents
+    """,
+)
+def embed_documents_deterministic(spark, sf_dir):
+    """Batched embedding transform (SURVEY §2.8 E1): deterministic
+    md5-derived components, codegen-only — the hermetic stand-in for
+    the reference's provider call (reference: bear/embedding.py:216-232).
+    The Arrow-batch variant (operators/embedding.embed_text_pandas)
+    produces identical vectors; equivalence is tested."""
+    from bear_spark.operators.embedding import embed_text_expr
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return embed_text_expr(d, dim=4).drop("text")

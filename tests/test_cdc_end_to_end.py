@@ -182,6 +182,40 @@ def test_compact_and_vacuum_preserve_state(spark, table, events_pdf):
     assert m["skipped"]
 
 
+def test_crash_between_stage_and_commit_leaves_table_intact(spark, table, monkeypatch):
+    """Two-phase commit: if the process dies AFTER data files are
+    staged but BEFORE the snapshot swap, readers still see the old
+    snapshot, the orphaned staging dir is vacuumable, and re-merging
+    the same batch succeeds (offsets were never committed → no fence)."""
+    ev = change_events(spark, 4000, n_convs=30, seed=31)
+    table.merge(ev.filter(ev.lsn < 2000))
+    v1 = table.snapshot["version"]
+    state1 = _live_state(table).sort_values(KEY_COLS).reset_index(drop=True)
+
+    # crash injection: snapshot write raises after staging
+    real_write = LakeTable._write_snapshot
+
+    def boom(self, snap, expect_version):
+        raise RuntimeError("simulated crash before metadata swap")
+
+    monkeypatch.setattr(LakeTable, "_write_snapshot", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        table.merge(ev.filter(ev.lsn >= 2000))
+    monkeypatch.setattr(LakeTable, "_write_snapshot", real_write)
+
+    # old snapshot intact, staged orphan reclaimable
+    assert table.snapshot["version"] == v1
+    got = _live_state(table).sort_values(KEY_COLS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, state1, check_like=True)
+    assert table.vacuum(), "orphaned staging dir must be reclaimed"
+
+    # retry applies cleanly (no offsets were committed for the batch)
+    m = table.merge(ev.filter(ev.lsn >= 2000))
+    assert not m["skipped"]
+    expected = oracle.replay(change_events(spark, 4000, n_convs=30, seed=31).toPandas())
+    oracle.assert_states_equal(_live_state(table), expected)
+
+
 def test_point_lookup_prunes_to_one_bucket(spark, table, events_pdf):
     ev = change_events(spark, N_EVENTS, n_convs=60, seed=7)
     table.merge(ev)
@@ -193,6 +227,15 @@ def test_point_lookup_prunes_to_one_bucket(spark, table, events_pdf):
     )
     pd.testing.assert_frame_equal(got, want, check_like=True)
     assert len(got) > 0
+    # data files are key-sorted (lake sort-order spec)
+    import os
+
+    import pyarrow.parquet as pq
+
+    snap = table.snapshot
+    fi = next(iter(snap["files"].values()))[0]
+    pdf = pq.read_table(os.path.join(table.root, fi["path"])).to_pandas()
+    assert list(pdf["conv_id"]) == sorted(pdf["conv_id"])
 
 
 def test_merge_under_extreme_key_skew_matches_oracle(spark, tmp_path):

@@ -123,6 +123,21 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"ANN recall too low: {recall} ({approx} vs {exact})"
 
 
+def test_embedding_expr_and_pandas_variants_agree(spark):
+    """The codegen embedder and the Arrow-batch kernel must produce
+    identical vectors (the kernel is the swap-in point for a real
+    model; the expr form is the oracle-verifiable twin)."""
+    from bear_spark.operators.embedding import embed_text_expr, embed_text_pandas
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(100)
+    a = embed_text_expr(docs, dim=4).toPandas().set_index("doc_id").sort_index()
+    b = embed_text_pandas(docs, dim=4).toPandas().set_index("doc_id").sort_index()
+    for i in range(4):
+        expr_vals = a[f"e{i}"]
+        kern_vals = b["embedding"].map(lambda v, i=i: v[i])
+        assert (expr_vals - kern_vals).abs().max() < 1e-9
+
+
 def test_ivf_ann_full_probe_equals_exact(spark):
     """Probing every inverted list = exhaustive search: IVF with
     n_probe=n_lists must return exactly the brute-force top-k; a
