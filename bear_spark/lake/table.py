@@ -134,8 +134,11 @@ class LakeTable:
         with open(os.path.join(self.root, "_meta", "VERSION")) as f:
             return int(f.read().strip())
 
-    def _snapshot(self) -> dict[str, Any]:
-        v = self._version()
+    def _snapshot(self, version: int | None = None) -> dict[str, Any]:
+        """Current snapshot, or any retained historical version
+        (snapshot documents are immutable — time travel is just
+        reading an older one)."""
+        v = self._version() if version is None else int(version)
         with open(os.path.join(self.root, "_meta", f"v{v}.json")) as f:
             return json.load(f)
 
@@ -256,8 +259,11 @@ class LakeTable:
         include_deleted: bool = False,
         include_system: bool = False,
         buckets: Sequence[int] | None = None,
+        version: int | None = None,
     ) -> DataFrame:
-        snap = self._snapshot()
+        """Read the table; ``version`` time-travels to a retained
+        snapshot (valid until ``vacuum()`` reclaims its data files)."""
+        snap = self._snapshot(version)
         df = self._read_files(snap, buckets, include_deleted=include_deleted)
         if not include_deleted:
             # belt-and-braces residual filter on top of the dir pruning

@@ -102,6 +102,68 @@ def test_update_across_schema_versions_lww_still_wins(spark, table):
     assert out.iloc[0]["tool"] == "editor"
 
 
+def test_time_travel_reads_prior_snapshot(spark, table):
+    b1 = _mk(
+        spark,
+        [("c1", 0, "v1", "2024-01-01 00:00:01", "I", 1, 0, 0)],
+        "conv_id string, turn_idx int, text string, ts string, op string, lsn long, source_partition int, offset long",
+    )
+    m1 = table.merge(b1)
+    b2 = _mk(
+        spark,
+        [("c1", 0, "v2", "2024-01-01 00:00:05", "U", 5, 0, 1)],
+        "conv_id string, turn_idx int, text string, ts string, op string, lsn long, source_partition int, offset long",
+    )
+    table.merge(b2)
+    assert table.read().toPandas()["text"].tolist() == ["v2"]
+    old = table.read(version=m1["version"]).toPandas()
+    assert old["text"].tolist() == ["v1"], "time travel must see the old snapshot"
+    empty = table.read(version=0).toPandas()
+    assert len(empty) == 0
+
+
+def test_widening_promotion_matrix():
+    """reconcile.evolve's full promotion lattice, both directions, plus
+    rejected narrowing/clashes (SURVEY §7 hard-item 4)."""
+    from pyspark.sql import types as T
+
+    from bear_spark.lake.reconcile import SchemaConflict, evolve
+
+    def s(**cols):
+        m = {
+            "int": T.IntegerType(), "long": T.LongType(), "double": T.DoubleType(),
+            "float": T.FloatType(), "short": T.ShortType(), "byte": T.ByteType(),
+            "date": T.DateType(), "ts": T.TimestampType(), "str": T.StringType(),
+        }
+        return T.StructType([T.StructField(k, m[v], True) for k, v in cols.items()])
+
+    ok = [
+        (s(a="int"), s(a="long"), "long"),
+        (s(a="int"), s(a="double"), "double"),
+        (s(a="long"), s(a="double"), "double"),
+        (s(a="float"), s(a="double"), "double"),
+        (s(a="short"), s(a="int"), "integer"),
+        (s(a="byte"), s(a="long"), "long"),
+        (s(a="date"), s(a="ts"), "timestamp"),
+        # batch NARROWER than table -> table type kept, no change entry
+        (s(a="long"), s(a="int"), "long"),
+        (s(a="double"), s(a="float"), "double"),
+    ]
+    for tbl, batch, want in ok:
+        merged, changes = evolve(tbl, batch)
+        assert merged["a"].dataType.typeName() == want, (tbl, batch, want)
+
+    import pytest as _pytest
+
+    for tbl, batch in [
+        (s(a="str"), s(a="long")),
+        (s(a="ts"), s(a="long")),
+        (s(a="double"), s(a="str")),
+    ]:
+        with _pytest.raises(SchemaConflict):
+            evolve(tbl, batch)
+
+
 def test_incompatible_schema_raises(spark, table):
     bad = _mk(
         spark,
