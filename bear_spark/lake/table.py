@@ -728,6 +728,63 @@ class LakeTable:
         new_snap = {**snap, "version": new_version, "files": files}
         self._write_snapshot(new_snap, expect_version=expect_version)
 
+    def expire_tombstones(self, older_than: str | None = None) -> dict[str, int]:
+        """Drop delete markers with event time below ``older_than``
+        (default: the table watermark). Tombstones exist to beat
+        late, stale updates; once the watermark has passed a delete's
+        event time, no admissible event can resurrect that key, so the
+        marker is dead weight — this bounds tombstone growth on
+        delete-heavy streams. Commits a new snapshot (only tombstone
+        files rewritten; live files untouched)."""
+        snap = self._snapshot()
+        cutoff = older_than or snap["watermark_ts"]
+        if cutoff is None:
+            return {"expired": 0, "kept": 0}
+        expect_version = snap["version"]
+        new_version = expect_version + 1
+        stage_rel = os.path.join("data", f"s{new_version}")
+        stage_dir = os.path.join(self.root, stage_rel)
+        seq_col = snap["seq_col"]
+
+        dead_buckets = sorted(
+            int(b)
+            for b, fs in snap["files"].items()
+            if any(fi.get("deleted") for fi in fs)
+        )
+        if not dead_buckets:
+            return {"expired": 0, "kept": 0}
+        dead = self._read_files(snap, dead_buckets).filter(
+            F.coalesce(F.col("_deleted"), F.lit(False))
+        )
+        keep = dead.filter(
+            F.col(seq_col).isNull() | (F.col(seq_col) >= F.lit(cutoff).cast("timestamp"))
+        )
+        (
+            keep.withColumn("_bucket_dir", F.col("_bucket"))
+            .withColumn("_del", F.lit(True))
+            .repartition(max(1, min(len(dead_buckets), 32)), "_bucket")
+            .write.partitionBy("_bucket_dir", "_del")
+            .mode("overwrite")
+            .parquet(stage_dir)
+        )
+        staged = self._enumerate_staged(
+            stage_rel, stage_dir, dead_buckets, int(snap["current_schema_version"])
+        )
+        files: dict[str, list[dict]] = {}
+        before = after = 0
+        for b, fs in snap["files"].items():
+            live = [fi for fi in fs if not fi.get("deleted")]
+            olddead = [fi for fi in fs if fi.get("deleted")]
+            before += sum(fi["rows"] for fi in olddead)
+            newdead = staged.get(b, []) if int(b) in set(dead_buckets) else olddead
+            after += sum(fi["rows"] for fi in newdead)
+            kept_files = live + newdead
+            if kept_files:
+                files[b] = kept_files
+        new_snap = {**snap, "version": new_version, "files": files}
+        self._write_snapshot(new_snap, expect_version=expect_version)
+        return {"expired": before - after, "kept": after}
+
     def vacuum(self) -> list[str]:
         """Delete staged data dirs not referenced by the current snapshot."""
         snap = self._snapshot()

@@ -182,6 +182,41 @@ def test_compact_and_vacuum_preserve_state(spark, table, events_pdf):
     assert m["skipped"]
 
 
+def test_expire_tombstones_drops_only_settled_deletes(spark, table):
+    """Tombstones with event time below the cutoff vanish; newer ones
+    survive and still block stale resurrection; live rows untouched."""
+    import pyspark.sql.functions as F
+
+    cols = "conv_id string, turn_idx int, role string, text string, tool string, ts string, op string, lsn long, source_partition int, offset long"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, cols).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    table.merge(
+        mk(
+            [
+                ("c1", 0, "user", "old-deleted", None, "2024-01-01 00:00:01", "D", 1, 0, 0),
+                ("c2", 0, "user", "new-deleted", None, "2024-01-03 00:00:01", "D", 2, 0, 1),
+                ("c3", 0, "user", "alive", None, "2024-01-02 00:00:01", "I", 3, 0, 2),
+            ]
+        )
+    )
+    sys_rows = table.read(include_deleted=True, include_system=True).toPandas()
+    assert sys_rows["_deleted"].sum() == 2
+    out = table.expire_tombstones(older_than="2024-01-02 00:00:00")
+    assert out == {"expired": 1, "kept": 1}
+    after = table.read(include_deleted=True, include_system=True).toPandas()
+    assert after["_deleted"].sum() == 1
+    assert set(after[after["_deleted"]]["conv_id"]) == {"c2"}
+    assert set(after[~after["_deleted"]]["conv_id"]) == {"c3"}
+    # surviving tombstone still blocks a stale update
+    table.merge(
+        mk([("c2", 0, "user", "stale", None, "2024-01-02 12:00:00", "U", 9, 0, 3)]),
+        fence=False,
+    )
+    assert "c2" not in set(table.read().toPandas()["conv_id"])
+
+
 def test_crash_between_stage_and_commit_leaves_table_intact(spark, table, monkeypatch):
     """Two-phase commit: if the process dies AFTER data files are
     staged but BEFORE the snapshot swap, readers still see the old
