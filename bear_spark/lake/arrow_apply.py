@@ -172,7 +172,9 @@ def make_apply_kernel(
         # --- LWW, pure Arrow: sort by (seq, lsn) ascending (nulls
         # first, so a null event time always loses), then ordered
         # group-by taking the LAST row per key — all C++; the row data
-        # never materializes as Python objects
+        # never materializes as Python objects. (Group OUTPUT order is
+        # not guaranteed by the hash grouper, so file sort order is
+        # applied explicitly below.)
         idx = pc.sort_indices(
             events,
             sort_keys=[(seq_col, "ascending"), ("_elsn", "ascending")],
@@ -211,16 +213,15 @@ def make_apply_kernel(
             ],
             schema=out_schema,
         )
-        # sort data files by key: prefix-compresses conv_id runs, gives
-        # min/max pruning tight ranges, and makes per-conversation
-        # reads sequential (the lake sort-order spec)
+        # sort data files by key: conv_id runs prefix-compress, parquet
+        # min/max stats get tight ranges, per-conversation reads are
+        # sequential (the lake sort-order spec). The winners table is
+        # one row per key, so this sort is much smaller than the LWW
+        # sort above. Masks come from the sorted table itself.
         full = full.sort_by([(k, "ascending") for k in key_cols])
-        live_col = full.column("_deleted")
+        sorted_del = full.column("_deleted")
         counts = {False: 0, True: 0}
-        for deleted, mask in (
-            (False, pc.invert(live_col.combine_chunks())),
-            (True, live_col.combine_chunks()),
-        ):
+        for deleted, mask in ((False, pc.invert(sorted_del)), (True, sorted_del)):
             sub = full.filter(mask)
             if sub.num_rows == 0:
                 continue
