@@ -134,3 +134,35 @@ def late_events_beyond_watermark(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_late"))
     )
+
+
+@query(
+    "conversation_stats",
+    """
+    SELECT conv_id, count(*) AS turns, max(turn_idx) AS max_turn_idx,
+           sum(length(text)) AS total_chars, max(ts) AS last_ts
+    FROM (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(event_id % 50 AS INT) AS turn_idx,
+             event_type AS text, ts
+      FROM events
+    ) GROUP BY conv_id
+    """,
+)
+def conversation_stats(spark, sf_dir):
+    """Batch twin of the stateful streaming operator
+    (streaming/stateful.conversation_progress): final per-conversation
+    counters, oracle-checked. The events table stands in as the
+    transcript stream (user_id -> conv, event_type -> text)."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 50).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        "ts",
+    )
+    return e.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.max("turn_idx").alias("max_turn_idx"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.max("ts").alias("last_ts"),
+    )
