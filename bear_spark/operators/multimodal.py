@@ -46,15 +46,117 @@ def decode_binary_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFram
     return df.mapInPandas(kernel, schema=schema)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode would use PIL/cv2 over mapInPandas batches;
-    codecs are not available in this container."""
-    raise NotImplementedError(
-        "image codecs not installed in this environment; "
-        "use decode_binary_meta for the plumbing-verified metadata path"
+def _fake_decode(payload: bytes) -> bytes:
+    """Deterministic stand-in for a codec: expands the payload into a
+    reproducible pseudo-pixel buffer (md5 chain). Swap for PIL/cv2
+    when codecs are installed — the surrounding plumbing is unchanged."""
+    out = bytearray()
+    seed = hashlib.md5(payload).digest()
+    while len(out) < 64:
+        out.extend(seed)
+        seed = hashlib.md5(seed).digest()
+    return bytes(out[:64])
+
+
+def extract_features(
+    df: DataFrame, id_col: str, payload_col: str, dim: int = 16
+) -> DataFrame:
+    """payload → feature vector (``array<float>``), one Arrow batch at
+    a time. The "model" is a deterministic byte-hash embedding; a real
+    encoder slots into the same kernel with the same batch shape."""
+    import numpy as np
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("features", T.ArrayType(T.FloatType()), False),
+        ]
     )
 
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [
+                (
+                    np.frombuffer(
+                        hashlib.md5(bytes(b)).digest() * ((4 * dim + 15) // 16),
+                        dtype=np.uint8,
+                    )[: 4 * dim]
+                    .astype(np.float32)
+                    .reshape(dim, 4)
+                    .mean(axis=1)
+                    / 255.0
+                ).tolist()
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling stub — same contract as decode_image."""
-    raise NotImplementedError("video codecs not installed in this environment")
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def resize_images(
+    df: DataFrame, id_col: str, payload_col: str, width: int = 8, height: int = 8
+) -> DataFrame:
+    """payload → decoded + "resized" buffer with (width, height)
+    metadata. The decode step is the deterministic stand-in; schema,
+    batching, and output contract are the production shape."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("pixels", T.BinaryType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    n = width * height
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = [_fake_decode(bytes(b)) for b in pdf[payload_col]]
+            resized = [
+                bytes(d[i * len(d) // n] for i in range(n)) for d in decoded
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pixels": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, payload_col: str, every_n: int = 4, n_frames: int = 16
+) -> DataFrame:
+    """Video frame sampling: one input row fans out to one row per
+    sampled frame (frame_idx + frame bytes) — the batch-in/explode-out
+    shape a real demuxer kernel has. Frames here are deterministic
+    slices of the fake-decoded buffer."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            next(f for f in df.schema.fields if f.name == id_col),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[payload_col]):
+                buf = _fake_decode(bytes(b))
+                step = max(1, len(buf) // n_frames)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(rid)
+                    idxs.append(fi)
+                    frames.append(buf[fi * step : (fi + 1) * step])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(kernel, schema=schema)
