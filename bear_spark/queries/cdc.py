@@ -140,7 +140,9 @@ def late_events_beyond_watermark(spark, sf_dir):
     "conversation_stats",
     """
     SELECT conv_id, count(*) AS turns, max(turn_idx) AS max_turn_idx,
-           sum(length(text)) AS total_chars, max(ts) AS last_ts
+           -- DuckDB sum() of an integer is HUGEINT; the driver hashes raw
+           -- values, so cast to match Spark's BIGINT bit-for-bit
+           CAST(sum(length(text)) AS BIGINT) AS total_chars, max(ts) AS last_ts
     FROM (
       SELECT CAST(user_id AS VARCHAR) AS conv_id,
              CAST(event_id % 50 AS INT) AS turn_idx,

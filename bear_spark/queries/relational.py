@@ -70,7 +70,14 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dim filter → broadcast join → agg → top-k."""
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+
+    Only ``customer`` (the true dimension) is broadcast; the
+    date-filtered ``orders`` side is still fact-sized (~half the
+    table), so lineitem ⋈ orders stays a shuffled hash/sort-merge
+    join — broadcasting it would OOM executors at 100×. AQE picks
+    the physical strategy from runtime sizes.
+    """
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
@@ -80,7 +87,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -106,8 +113,11 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_region_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: star join — every dimension broadcast, one shuffle
-    for the final groupBy."""
+    """TPC-H Q5 shape: fact-fact joins (lineitem ⋈ orders ⋈ customer)
+    shuffle on their keys — orders and customer grow with the fact data
+    and must NOT be broadcast at scale; only the genuinely small dims
+    (supplier/nation/region) are broadcast. AQE converts to broadcast
+    at runtime when a side happens to be small."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -115,8 +125,8 @@ def q5_region_revenue(spark, sf_dir):
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
@@ -137,11 +147,16 @@ def q5_region_revenue(spark, sf_dir):
            round(min(l_extendedprice), 2)             AS min_price,
            round(max(l_extendedprice), 2)             AS max_price,
            round(sum(l_extendedprice), 2)             AS sum_price,
-           round(avg(l_discount), 4)                  AS avg_disc
+           round(avg(l_discount), 4)                  AS avg_disc,
+           round(quantile_cont(l_quantity, 0.25), 4)  AS p25,
+           round(quantile_cont(l_quantity, 0.50), 4)  AS p50,
+           round(quantile_cont(l_quantity, 0.75), 4)  AS p75
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_stats_by_flag(spark, sf_dir):
+    """One grouped pass covering min/max/sum/avg, exact count-distinct,
+    and exact interpolated percentiles (SURVEY §2.11 aggs)."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -150,6 +165,9 @@ def agg_stats_by_flag(spark, sf_dir):
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
     )
 
 
@@ -159,25 +177,6 @@ def approx_distinct_parts(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
-    )
-
-
-@query(
-    "percentiles_quantity",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.25), 4) AS p25,
-           round(quantile_cont(l_quantity, 0.50), 4) AS p50,
-           round(quantile_cont(l_quantity, 0.75), 4) AS p75
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def percentiles_quantity(spark, sf_dir):
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
     )
 
 
@@ -301,7 +300,12 @@ def join_left_anti_no_orders(spark, sf_dir):
     """,
 )
 def join_range_price_band(spark, sf_dir):
-    """Equi-join + range residual predicate (non-equi condition)."""
+    """Equi-join + range residual predicate (non-equi condition).
+
+    ``part`` scales with the data (200k rows/sf) so the strategy is
+    left to AQE: equi-key shuffle join with the range predicate as a
+    post-join residual, broadcast only if runtime stats say it fits.
+    """
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     cond = (
@@ -309,43 +313,50 @@ def join_range_price_band(spark, sf_dir):
         & (li.l_extendedprice >= part.p_retailprice * 1.0)
         & (li.l_extendedprice <= part.p_retailprice * 10.0)
     )
-    return li.join(F.broadcast(part), cond).groupBy("p_brand").agg(
+    return li.join(part, cond).groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_in_band")
     )
 
 
 # ------------------------------------------------------------------ set ops
 @query(
-    "set_intersect_custkeys",
+    "set_ops_custkeys",
     """
-    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
-    """,
-)
-def set_intersect_custkeys(spark, sf_dir):
-    orders = t(spark, sf_dir, "orders")
-    early = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).select("o_custkey")
-    late = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")).select("o_custkey")
-    return early.intersect(late)
-
-
-@query(
-    "set_except_custkeys",
-    """
-    SELECT c_custkey FROM customer
-    EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-)
-def set_except_custkeys(spark, sf_dir):
-    cust = t(spark, sf_dir, "customer").select("c_custkey")
-    f = (
-        t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select(F.col("o_custkey").alias("c_custkey"))
+    SELECT 'intersect' AS op, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      INTERSECT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
     )
-    return cust.subtract(f)  # EXCEPT (distinct) semantics
+    UNION ALL
+    SELECT 'except' AS op, custkey FROM (
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def set_ops_custkeys(spark, sf_dir):
+    """INTERSECT and EXCEPT (distinct semantics) in one driver-checked
+    result, tagged by op. Both compile to shuffled distinct-join plans;
+    UNION (the third set op) has its own query below."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    inter = early.intersect(late).select(F.lit("intersect").alias("op"), "custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    exc = (
+        cust.select(F.col("c_custkey").alias("custkey"))
+        .subtract(f)
+        .select(F.lit("except").alias("op"), "custkey")
+    )
+    return inter.unionByName(exc)
 
 
 @query(

@@ -20,44 +20,6 @@ _LANGSETS = {
 
 
 @query(
-    "token_count_docs",
-    """
-    SELECT doc_id,
-           len(regexp_extract_all(text, '\\S+')) AS n_tokens,
-           len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_words,
-           length(text) AS n_chars
-    FROM documents
-    """,
-)
-def token_count_docs(spark, sf_dir):
-    """Whitespace + BPE-ish regex token counting."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("n_tokens"),
-        F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9]+', 0)")).alias("n_words"),
-        F.length("text").alias("n_chars"),
-    )
-
-
-@query(
-    "doc_fingerprint",
-    """
-    SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
-    FROM documents
-    """,
-)
-def doc_fingerprint(spark, sf_dir):
-    """Normalized-content fingerprint (md5 of alnum-lowered text) — the
-    exact-dedup key."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))).alias("fp"),
-    )
-
-
-@query(
     "dedup_exact_docs",
     """
     SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
@@ -68,8 +30,9 @@ def doc_fingerprint(spark, sf_dir):
     """,
 )
 def dedup_exact_docs(spark, sf_dir):
-    """Exact dedup: hash-groupBy on the content fingerprint; keep the
-    min doc_id as canonical representative."""
+    """Exact dedup: the normalized-content fingerprint (md5 of
+    alnum-lowered text — the document-fingerprinting op) hash-grouped;
+    keep the min doc_id as canonical representative."""
     d = t(spark, sf_dir, "documents")
     fp = d.select(
         "doc_id",
@@ -126,15 +89,17 @@ def lang_id_docs(spark, sf_dir):
 @query(
     "quality_score_docs",
     """
-    SELECT doc_id,
+    SELECT doc_id, n_tokens, n_bpe_words, n_chars,
            round(n_words / greatest(n_tokens, 1), 4)                       AS word_ratio,
            round(n_stop / greatest(n_words, 1), 4)                         AS stopword_ratio,
-           round(length(text) / greatest(n_tokens, 1), 4)                  AS avg_token_len,
+           round(n_chars / greatest(n_tokens, 1), 4)                       AS avg_token_len,
            CASE WHEN n_tokens BETWEEN 10 AND 5000
                  AND n_stop / greatest(n_words, 1) > 0.01 THEN 1 ELSE 0 END AS keep
     FROM (
-      SELECT doc_id, text,
+      SELECT doc_id,
              len(regexp_extract_all(text, '\\S+'))            AS n_tokens,
+             len(regexp_extract_all(text, '[a-zA-Z0-9]+'))    AS n_bpe_words,
+             length(text)                                     AS n_chars,
              len(regexp_extract_all(text, '[a-zA-Z]+'))       AS n_words,
              len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|is)\\b')) AS n_stop
       FROM documents
@@ -142,13 +107,16 @@ def lang_id_docs(spark, sf_dir):
     """,
 )
 def quality_score_docs(spark, sf_dir):
-    """Heuristic quality scoring: length bounds, alpha-word ratio,
-    stopword ratio → keep/drop gate (Gopher-rules-style)."""
+    """Token counting (whitespace + BPE-ish regex + chars) and heuristic
+    quality scoring in one vectorized pass: length bounds, alpha-word
+    ratio, stopword ratio → keep/drop gate (Gopher-rules-style)."""
     d = t(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         "text",
         F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("n_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9]+', 0)")).alias("n_bpe_words"),
+        F.length("text").alias("n_chars"),
         F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z]+', 0)")).alias("n_words"),
         F.size(
             F.expr(r"regexp_extract_all(lower(text), '\\b(the|a|of|to|and|is)\\b', 0)")
@@ -156,9 +124,12 @@ def quality_score_docs(spark, sf_dir):
     )
     return base.select(
         "doc_id",
+        "n_tokens",
+        "n_bpe_words",
+        "n_chars",
         F.round(F.col("n_words") / F.greatest(F.col("n_tokens"), F.lit(1)), 4).alias("word_ratio"),
         F.round(F.col("n_stop") / F.greatest(F.col("n_words"), F.lit(1)), 4).alias("stopword_ratio"),
-        F.round(F.length("text") / F.greatest(F.col("n_tokens"), F.lit(1)), 4).alias("avg_token_len"),
+        F.round(F.col("n_chars") / F.greatest(F.col("n_tokens"), F.lit(1)), 4).alias("avg_token_len"),
         F.when(
             F.col("n_tokens").between(10, 5000)
             & (F.col("n_stop") / F.greatest(F.col("n_words"), F.lit(1)) > 0.01),
@@ -188,25 +159,6 @@ def strip_prefix_normalize(spark, sf_dir):
 
 
 @query(
-    "doc_word_positions",
-    """
-    SELECT doc_id, u.pos, u.word FROM (
-      SELECT doc_id,
-             unnest(list_transform(string_split(text, ' '),
-                                   (x, i) -> {'pos': i - 1, 'word': x})) AS u
-      FROM documents WHERE doc_id < 20)
-    """,
-)
-def doc_word_positions(spark, sf_dir):
-    """Positional explode (posexplode) — the inverted-index direction of
-    the reference's abstract handling (reference: bear/model.py:13-17)."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    return d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
-    )
-
-
-@query(
     "doc_reconstruct_from_positions",
     """
     SELECT doc_id, string_agg(u.word, ' ' ORDER BY u.pos) AS rebuilt
@@ -220,8 +172,10 @@ def doc_word_positions(spark, sf_dir):
 )
 def doc_reconstruct_from_positions(spark, sf_dir):
     """Reference parity: _recover_abstract — invert {word: [pos...]}
-    into position-sorted text (reference: bear/model.py:164-171). Here:
-    posexplode → sort structs by position → array_join."""
+    into position-sorted text (reference: bear/model.py:164-171). The
+    positional explode (posexplode — the inverted-index direction,
+    reference: bear/model.py:13-17) is the inner stage; the round trip
+    proves both directions."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     exploded = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
     return (

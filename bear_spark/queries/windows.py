@@ -62,39 +62,27 @@ def window_running_sum(spark, sf_dir):
     """
     SELECT event_id, user_id,
            round(value - lag(value)  OVER w, 3) AS delta_prev,
-           round(lead(value) OVER w - value, 3) AS delta_next
+           round(lead(value) OVER w - value, 3) AS delta_next,
+           first_value(event_type) OVER w AS first_event,
+           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
     FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
 def window_lag_lead(spark, sf_dir):
+    """All four offset/edge analytic functions (lag/lead/first/last)
+    over one shuffled sort — the partitioning is computed once and
+    shared by every window in the select."""
     e = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return e.select(
         "event_id",
         "user_id",
         F.round(F.col("value") - F.lag("value").over(w), 3).alias("delta_prev"),
         F.round(F.lead("value").over(w) - F.col("value"), 3).alias("delta_next"),
-    )
-
-
-@query(
-    "topk_per_group",
-    """
-    SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice
-    FROM (
-      SELECT p_brand, p_partkey, p_retailprice,
-             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
-      FROM part
-    ) WHERE rn <= 3
-    """,
-)
-def topk_per_group(spark, sf_dir):
-    p = t(spark, sf_dir, "part")
-    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
-    return (
-        p.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"))
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(wfull).alias("last_event"),
     )
 
 
@@ -299,27 +287,6 @@ def window_range_frame_30d(spark, sf_dir):
         FROM _rf_orders
         """
     )
-
-
-@query(
-    "window_first_last",
-    """
-    SELECT DISTINCT user_id,
-           first_value(event_type) OVER w AS first_event,
-           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
-    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-)
-def window_first_last(spark, sf_dir):
-    e = t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    return e.select(
-        "user_id",
-        F.first("event_type").over(w).alias("first_event"),
-        F.last("event_type").over(wfull).alias("last_event"),
-    ).distinct()
 
 
 @query(
