@@ -30,6 +30,7 @@ from collections.abc import Callable
 
 _ARROW_TYPES = {
     "string": "string",
+    "binary": "binary",
     "integer": "int32",
     "long": "int64",
     "short": "int16",
@@ -41,11 +42,15 @@ _ARROW_TYPES = {
 }
 
 
-def _arrow_type(pa, spark_typename: str):
+def _arrow_type(pa, spark_typename):
+    if not isinstance(spark_typename, str):
+        # nested types (array/map/struct JSON objects): Arrow's hash
+        # "last" aggregation has no kernels for them — SQL path instead
+        raise TypeError(f"unsupported payload type for arrow apply: {spark_typename}")
     if spark_typename == "timestamp":
         return pa.timestamp("us", tz="UTC")
     name = _ARROW_TYPES.get(spark_typename)
-    if name is None:
+    if name is None:  # decimal(p,s) etc. — same story as nested
         raise TypeError(f"unsupported payload type for arrow apply: {spark_typename}")
     return getattr(pa, name)()
 
@@ -57,6 +62,20 @@ def _arrow_schema(pa, spark_json: dict):
     )
 
 
+def supports_schema(spark_json: dict) -> bool:
+    """True if every payload column maps onto the kernel's Arrow type
+    set (flat primitives + binary). Tables with array/map/struct or
+    decimal payloads — e.g. an embedding ``array<float>`` — take the
+    Catalyst SQL apply path instead of failing the default merge."""
+    import pyarrow as pa
+
+    try:
+        _arrow_schema(pa, spark_json)
+        return True
+    except TypeError:
+        return False
+
+
 def make_apply_kernel(
     files_by_bucket: dict[int, list[str]],
     target_schema_json: dict,
@@ -64,6 +83,7 @@ def make_apply_kernel(
     key_cols: list[str],
     seq_col: str,
     wm_iso: str | None = None,
+    drop_late: bool = False,
     compression: str = "snappy",
 ) -> Callable:
     """Build the applyInPandas kernel for one merge.
@@ -126,6 +146,12 @@ def make_apply_kernel(
                 }
             )
         pdf = pdf.drop(columns=["_sp", "_off", "_segment"])
+        if drop_late and wm_iso:
+            # drop-late policy: late events are counted (stats above,
+            # offsets committed) but never applied — the watermark is a
+            # hard admission boundary, which is what makes tombstone
+            # expiry safe. NaT event times are kept (they lose LWW).
+            pdf = pdf.loc[~late_mask]
         target = _arrow_schema(pa, target_schema_json)
         payload_names = [f.name for f in target]
         # event shape: payload + _bucket/_op/_elsn

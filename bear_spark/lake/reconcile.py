@@ -42,8 +42,25 @@ def can_widen(src: T.DataType, dst: T.DataType) -> bool:
     return dst.typeName() in _WIDEN.get(src.typeName(), ())
 
 
+def _erase_nullability(dt: T.DataType) -> T.DataType:
+    """Same type modulo containsNull/valueContainsNull/field nullability
+    — a batch built with F.array(...) legitimately arrives with
+    containsNull=False where the table stores True."""
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_erase_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _erase_nullability(dt.keyType), _erase_nullability(dt.valueType), True
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _erase_nullability(f.dataType), True) for f in dt.fields]
+        )
+    return dt
+
+
 def _widest(a: T.DataType, b: T.DataType) -> T.DataType | None:
-    if a == b:
+    if _erase_nullability(a) == _erase_nullability(b):
         return a
     if can_widen(a, b):
         return b

@@ -91,6 +91,7 @@ class LakeTable:
         bucket_cols: Sequence[str] | None = None,
         num_buckets: int = 16,
         lateness_sec: int = 3600,
+        drop_late: bool = False,
         overwrite: bool = False,
     ) -> "LakeTable":
         """CREATE TABLE: write snapshot v0 (no data files).
@@ -98,6 +99,16 @@ class LakeTable:
         ``schema`` is the payload schema; system columns (_lsn, _deleted,
         _bucket) are managed by the table. ``seq_col`` + lsn form the LWW
         order. ``bucket_cols`` default to the first key column.
+
+        ``drop_late=True`` makes MERGE discard (after counting) events
+        whose event time is below the table watermark. That makes the
+        watermark a hard admission boundary, which is what lets
+        ``expire_tombstones`` safely reclaim delete markers: once no
+        event below the watermark can ever apply, an expired tombstone
+        cannot be beaten by a late stale update. The default (False)
+        applies every event no matter how late — replay converges to
+        the full-history oracle, but tombstones must then be kept (or
+        expired only with an explicit, operator-owned cutoff).
         """
         meta = os.path.join(root, "_meta")
         if os.path.exists(meta):
@@ -112,6 +123,7 @@ class LakeTable:
             "bucket_cols": list(bucket_cols or key_cols[:1]),
             "num_buckets": int(num_buckets),
             "lateness_sec": int(lateness_sec),
+            "drop_late": bool(drop_late),
             "schemas": {"0": schema_to_json(schema)},
             "current_schema_version": 0,
             "files": {},  # bucket(str) -> [{path, schema_version, deleted, rows}]
@@ -342,6 +354,27 @@ class LakeTable:
         if changes:
             schema_version += 1
 
+        # bucket columns are hash-routing state: widening one would
+        # re-bucket every existing key (xxhash64 is type-sensitive), so
+        # evolution must never touch their types
+        for c in snap["bucket_cols"]:
+            if new_schema[c].dataType != table_schema[c].dataType:
+                raise reconcile.SchemaConflict(
+                    f"bucket column {c} cannot change type "
+                    f"({table_schema[c].dataType.simpleString()} -> "
+                    f"{new_schema[c].dataType.simpleString()}): xxhash64 routing "
+                    "would re-bucket existing keys"
+                )
+
+        if mode == "arrow":
+            from bear_spark.lake.arrow_apply import supports_schema
+
+            if not supports_schema(schema_to_json(new_schema)):
+                # array/map/struct/decimal payloads (e.g. embedding
+                # columns) — Arrow's hash "last" has no kernels for
+                # them; the Catalyst path handles every Spark type
+                mode = "sql"
+
         has_env = {"source_partition", "offset"} <= set(batch.columns)
 
         # --- exactly-once fencing on (source_partition, offset_range) ---
@@ -382,6 +415,14 @@ class LakeTable:
         seg_expr = (
             F.col("_src_file") if "_src_file" in batch.columns else F.input_file_name()
         )
+        # hash the bucket columns at the TABLE's types, not the batch's
+        # arrival types: xxhash64 is type-sensitive, so a batch whose
+        # bucket column arrives narrower (int where the table is long —
+        # which _align_to would silently widen AFTER bucketing) would
+        # route the same key to a different bucket than prior batches
+        # and than lookup()'s payload-schema probe
+        for c in snap["bucket_cols"]:
+            batch = batch.withColumn(c, F.col(c).cast(new_schema[c].dataType))
         src = (
             batch.withColumn("_bucket", self._bucket_expr(snap))
             .withColumn("_segment", seg_expr)
@@ -447,6 +488,7 @@ class LakeTable:
             "rows_in": rows_in,
             "rows_after_fence": rows_in,
             "late_events": late_events,
+            "late_dropped": late_events if snap.get("drop_late") else 0,
             "target_rows_read": tgt_rows,
             "rows_written": rows_written,
             "tombstones": tombstones,
@@ -540,6 +582,7 @@ class LakeTable:
             list(key_cols),
             seq_col,
             wm_iso=wm,
+            drop_late=bool(snap.get("drop_late")),
         )
         # pin the partition count: REPARTITION_BY_NUM both defeats AQE
         # coalescing (sized on the small batch-side shuffle, blind to
@@ -663,6 +706,14 @@ class LakeTable:
                 F.col("op").alias("_op"),
                 F.col("lsn").alias("_elsn"),
             )
+            if snap.get("drop_late") and wm:
+                # watermark as hard admission boundary: late events were
+                # counted in the stats above but never apply (null event
+                # times are kept — they always lose LWW anyway)
+                src_evt = src_evt.filter(
+                    F.col(seq_col).isNull()
+                    | (F.col(seq_col) >= F.lit(wm).cast("timestamp"))
+                )
             tgt = self._read_files(snap, touched)
             tgt_evt = self._align_to(
                 tgt.withColumn(
@@ -731,12 +782,26 @@ class LakeTable:
     def expire_tombstones(self, older_than: str | None = None) -> dict[str, int]:
         """Drop delete markers with event time below ``older_than``
         (default: the table watermark). Tombstones exist to beat
-        late, stale updates; once the watermark has passed a delete's
-        event time, no admissible event can resurrect that key, so the
-        marker is dead weight — this bounds tombstone growth on
-        delete-heavy streams. Commits a new snapshot (only tombstone
-        files rewritten; live files untouched)."""
+        late, stale updates; the "no resurrection after expiry"
+        guarantee therefore needs MERGE to refuse events below the
+        watermark — that is the ``drop_late=True`` table policy. On a
+        drop-late table the watermark default is safe: no admissible
+        event can resurrect an expired key. On a keep-late table
+        (default) arbitrarily late events still apply, so expiry
+        forfeits the guarantee for them — the cutoff must then be an
+        explicit, operator-owned ``older_than`` (e.g. a retention
+        horizon behind which the source provably emits nothing).
+        Commits a new snapshot (only tombstone files rewritten; live
+        files untouched)."""
         snap = self._snapshot()
+        if older_than is None and not snap.get("drop_late"):
+            raise ValueError(
+                "expire_tombstones without an explicit older_than cutoff is "
+                "only safe on a drop_late=True table: this table applies "
+                "events below the watermark, so an expired tombstone could "
+                "be resurrected by a late stale update. Pass older_than "
+                "explicitly to accept that trade-off."
+            )
         cutoff = older_than or snap["watermark_ts"]
         if cutoff is None:
             return {"expired": 0, "kept": 0}

@@ -85,16 +85,22 @@ class SearchEngine:
             query_vec,
             top_k=top_k,
             filter_expr=filter_expr,
-            min_distance=None,  # threshold applied inside rerank (P5)
+            min_distance=None,  # threshold applied below, pre-formula
             output_cols=None,
         )
+        if min_distance is not None:
+            # the reference thresholds the RAW distance before scoring
+            # (bear/reranker.py: `r.get("distance", 0) > min_distance`,
+            # strict >) — filtering on the formula score instead would
+            # keep/drop different rows for any non-identity formula
+            hits = hits.filter(F.col("distance") > min_distance)
         return rerank_scores(
             hits,
             group_col="_group",
             formula=formula,
             order_cols=[self.id_col],
             top_n=top_n_per_group,
-            min_score=min_distance,
+            min_score=None,
             explode_col=group_array_col,
             limit=limit,
         )

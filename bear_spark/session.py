@@ -55,11 +55,18 @@ def get_spark(
         # file distributed listing job (which costs seconds per merge)
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
     )
-    # Shuffle/spill blocks go to RAM-backed storage when available: in
+    # Shuffle/spill blocks go to RAM-backed storage when requested: in
     # local mode all executor threads share one virtual disk, which
     # serializes the shuffle stages that a real cluster spreads across
-    # per-executor SSDs. (Harmless elsewhere: falls back to /tmp.)
-    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+    # per-executor SSDs. Opt-in ($BEAR_SHM_SPILL=1, set by the bench
+    # entry points) rather than default: tmpfs is typically capped at
+    # half of RAM, so redirecting every session's spill there could
+    # turn a large disk spill into ENOSPC.
+    if (
+        os.environ.get("BEAR_SHM_SPILL") == "1"
+        and os.path.isdir("/dev/shm")
+        and "spark.local.dir" not in (extra_conf or {})
+    ):
         local_dir = "/dev/shm/spark-local"
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)

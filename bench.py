@@ -136,6 +136,10 @@ def main() -> None:
     from bear_spark.queries import REGISTRY
     from bear_spark.session import get_spark
 
+    # bench sessions spill shuffle blocks to tmpfs (benchmark hygiene:
+    # one shared virtual disk serializes local-mode shuffles); library
+    # sessions keep the disk default — see session.get_spark
+    os.environ.setdefault("BEAR_SHM_SPILL", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", "32000000"))

@@ -1,0 +1,221 @@
+"""Merge-policy edges: late-event admission (drop_late) vs tombstone
+expiry, bucket-hash stability across arrival types, and Arrow-kernel
+type coverage with SQL fallback for nested payloads."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bear_spark.lake import LakeTable
+from bear_spark.lake.arrow_apply import supports_schema
+from bear_spark.schema import schema_to_json
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _events(spark, rows):
+    """rows: (conv_id, turn_idx, text, ts_str, op, lsn)."""
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts string, op string, lsn long"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@pytest.mark.parametrize("mode", ["arrow", "sql"])
+def test_drop_late_table_survives_expiry_without_resurrection(spark, tmp_path, mode):
+    """On a drop_late table the watermark is a hard admission boundary,
+    so expire_tombstones (watermark default) can never be beaten by a
+    late stale update."""
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / f"tbl_{mode}"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        seq_col="ts",
+        num_buckets=2,
+        lateness_sec=0,
+        drop_late=True,
+    )
+    tbl.merge(_events(spark, [("c1", 0, "hello", "2024-01-10 00:00:00", "I", 1)]), mode=mode)
+    m = tbl.merge(_events(spark, [("c1", 0, None, "2024-01-11 00:00:00", "D", 2)]), mode=mode)
+    assert m["tombstones"] == 1
+    assert tbl.read().count() == 0
+    # push the watermark strictly past the delete's event time (a
+    # tombstone AT the watermark is still live — an equal-ts event with
+    # a higher lsn remains admissible)
+    tbl.merge(_events(spark, [("c9", 0, "advance wm", "2024-01-12 00:00:00", "I", 10)]), mode=mode)
+
+    out = tbl.expire_tombstones()  # watermark default is allowed here
+    assert out["expired"] == 1
+
+    # a late, stale update (ts below the 2024-01-11 watermark) arrives:
+    # it must be counted AND dropped, never resurrecting the deleted key
+    m = tbl.merge(
+        _events(spark, [("c1", 0, "stale resurrect", "2024-01-05 00:00:00", "U", 3)]),
+        mode=mode,
+    )
+    assert m["late_events"] == 1
+    assert m["late_dropped"] == 1
+    assert tbl.read().filter(F.col("conv_id") == "c1").count() == 0
+
+
+def test_keep_late_table_requires_explicit_expiry_cutoff(spark, tmp_path):
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        seq_col="ts",
+        num_buckets=2,
+        lateness_sec=0,
+    )
+    tbl.merge(_events(spark, [("c1", 0, None, "2024-01-11 00:00:00", "D", 1)]))
+    with pytest.raises(ValueError, match="drop_late"):
+        tbl.expire_tombstones()
+    out = tbl.expire_tombstones(older_than="2024-02-01 00:00:00")
+    assert out["expired"] == 1
+
+
+def test_keep_late_table_applies_late_events(spark, tmp_path):
+    """Default policy: late events still apply (full-history replay
+    convergence) — only counted as late, never dropped."""
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        seq_col="ts",
+        num_buckets=2,
+        lateness_sec=0,
+    )
+    tbl.merge(_events(spark, [("c1", 0, "first", "2024-01-10 00:00:00", "I", 1)]))
+    m = tbl.merge(_events(spark, [("c2", 0, "late insert", "2024-01-01 00:00:00", "I", 2)]))
+    assert m["late_events"] == 1 and m["late_dropped"] == 0
+    assert tbl.read().count() == 2
+
+
+@pytest.mark.parametrize("mode", ["arrow", "sql"])
+def test_bucket_hash_stable_when_key_arrives_narrower(spark, tmp_path, mode):
+    """xxhash64 is type-sensitive: a batch whose bucket column arrives
+    as int while the table stores long must still route each key to the
+    same bucket (else LWW dedup splits across buckets)."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / f"tbl_{mode}"),
+        schema,
+        key_cols=["k"],
+        seq_col="ts",
+        num_buckets=8,
+    )
+    base = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit("v1").alias("text"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("I").alias("op"),
+        F.col("id").alias("lsn"),
+    )
+    tbl.merge(base, mode=mode)
+    # same keys, narrower arrival type, newer ts
+    upd = spark.range(50).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit("v2").alias("text"),
+        F.lit("2024-01-02 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("U").alias("op"),
+        (F.col("id") + 100).alias("lsn"),
+    )
+    tbl.merge(upd, mode=mode)
+    got = tbl.read().toPandas()
+    assert len(got) == 50, "duplicate keys across buckets — hash routed by arrival type"
+    assert set(got["text"]) == {"v2"}
+    # point lookup probes with the payload-schema type → same bucket
+    assert tbl.lookup(7).toPandas()["text"].tolist() == ["v2"]
+
+
+def test_bucket_column_type_widening_rejected(spark, tmp_path):
+    from bear_spark.lake.reconcile import SchemaConflict
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "tbl"), schema, key_cols=["k"], seq_col="ts", num_buckets=2
+    )
+    wide = spark.range(3).select(
+        F.col("id").alias("k"),  # long > table's int → would re-bucket
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("I").alias("op"),
+        F.col("id").alias("lsn"),
+    )
+    with pytest.raises(SchemaConflict, match="bucket column"):
+        tbl.merge(wide)
+
+
+def test_array_payload_falls_back_to_sql_on_default_merge(spark, tmp_path):
+    """An embedding array<double> payload can't take the Arrow kernel
+    (no hash-last kernel for lists) — the default merge must silently
+    use the SQL path instead of raising."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    assert not supports_schema(schema_to_json(schema))
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "tbl"), schema, key_cols=["doc_id"], seq_col="ts", num_buckets=2
+    )
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.col("id").cast("double"), F.lit(0.5)).alias("emb"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("I").alias("op"),
+        F.col("id").alias("lsn"),
+    )
+    m = tbl.merge(df)  # default mode=arrow → auto-fallback
+    assert m["rows_written"] == 10
+    got = tbl.read().toPandas().sort_values("doc_id")
+    assert got["emb"].iloc[3][0] == 3.0
+
+
+def test_binary_payload_supported_by_arrow_kernel(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    assert supports_schema(schema_to_json(schema))
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "tbl"), schema, key_cols=["doc_id"], seq_col="ts", num_buckets=2
+    )
+    df = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.concat(F.lit("blob-"), F.col("id").cast("string")), "utf-8").alias("payload"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("I").alias("op"),
+        F.col("id").alias("lsn"),
+    )
+    tbl.merge(df, mode="arrow")
+    got = tbl.read().toPandas().sort_values("doc_id")
+    assert bytes(got["payload"].iloc[2]) == b"blob-2"

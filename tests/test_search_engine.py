@@ -47,6 +47,28 @@ def test_search_resource_matches_manual_pipeline(spark, corpus, qvec):
     assert got["distance"].tolist() == want["distance"].tolist()
 
 
+def test_search_author_min_distance_filters_raw_distance(spark, corpus, qvec):
+    """The reference thresholds the RAW distance before scoring
+    (bear/reranker.py: `distance > min_distance`, strict >) — with a
+    negated formula a score-side filter would keep nothing, so a
+    non-empty result proves the filter runs on distance."""
+    eng = SearchEngine(corpus)
+    out = eng.search_author(
+        qvec,
+        group_array_col="group_ids",
+        formula="-distance",
+        top_k=200,
+        top_n_per_group=5,
+        min_distance=0.5,
+        limit=10,
+    ).toPandas()
+    assert len(out) > 0
+    assert (out["total_score"] < 0).all()  # scores are negated distances
+    # every surviving hit had distance > 0.5, so each group's top-5 sum
+    # is bounded below by -5 (scores in (-1, -0.5))
+    assert (out["total_score"] >= -5.0).all()
+
+
 def test_search_author_ranks_groups(spark, corpus, qvec):
     eng = SearchEngine(corpus)
     out = eng.search_author(
