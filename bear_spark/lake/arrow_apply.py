@@ -77,21 +77,27 @@ def supports_schema(spark_json: dict) -> bool:
 
 
 def make_apply_kernel(
-    files_by_bucket: dict[int, list[str]],
+    files_by_bucket: dict[int, list[tuple]],
     target_schema_json: dict,
     stage_dir: str,
     key_cols: list[str],
     seq_col: str,
     wm_iso: str | None = None,
     drop_late: bool = False,
+    table_root: str = "",
     compression: str = "snappy",
 ) -> Callable:
     """Build the applyInPandas kernel for one merge.
 
-    ``files_by_bucket``: existing data-file paths per bucket (already
-    absolute; all schema versions — alignment to the target schema
-    happens here, which is exactly the registry-reconciler's "rewrite
-    Arrow batches" step).
+    ``files_by_bucket``: per bucket, existing data files as
+    ``(rel_path, key_min, key_max)`` tuples (all schema versions —
+    alignment to the target schema happens here, which is exactly the
+    registry-reconciler's "rewrite Arrow batches" step). Files whose
+    first-key [min, max] range contains NO batch key are CARRIED OVER
+    untouched (their rel paths come back in the ``kept`` column and the
+    driver re-references them in the new snapshot) — task memory is
+    bounded by the files a batch actually touches, not the bucket. A
+    missing range (None) means "assume it intersects".
 
     Besides applying LWW, each group returns its slice of the BATCH
     stats — per (source_partition, segment) contiguous offset range,
@@ -186,10 +192,31 @@ def make_apply_kernel(
             batch, batch.column("_op").cast(pa.string()), batch.column("_elsn")
         )
 
-        # --- existing files for this bucket (old schema versions OK) ---
+        # --- existing files: read only those the batch can touch ------
+        # file ranges come from parquet footers (files are key-sorted);
+        # a file whose [kmin, kmax] contains no batch key is carried
+        # over byte-identical — at 10^10 rows this is the difference
+        # between O(touched files) and O(whole bucket) per task
+        batch_keys = pdf[key_cols[0]]
+        kept_paths = []
+        to_read = []
+        for rel, kmin, kmax in files_by_bucket.get(bucket, ()):
+            intersects = True
+            if kmin is not None and kmax is not None:
+                try:
+                    intersects = bool(
+                        ((batch_keys >= kmin) & (batch_keys <= kmax)).any()
+                    )
+                except TypeError:  # incomparable types → safe default
+                    intersects = True
+            if intersects:
+                to_read.append(rel)
+            else:
+                kept_paths.append(rel)
+
         parts = [batch]
-        for path in files_by_bucket.get(bucket, ()):
-            t = pq.read_table(path)
+        for rel in to_read:
+            t = pq.read_table(os.path.join(table_root, rel))
             deleted = pc.fill_null(t.column("_deleted").cast(pa.bool_()), False)
             op = pc.if_else(deleted, pa.scalar("D"), pa.scalar("U"))
             parts.append(align_to_events(t, op.cast(pa.string()), t.column("_lsn")))
@@ -268,6 +295,7 @@ def make_apply_kernel(
                     "rows_written": counts[False] + counts[True],
                     "tombstones": counts[True],
                     "stats": _json.dumps(stats),
+                    "kept": _json.dumps(kept_paths),
                 }
             ]
         )
@@ -275,4 +303,6 @@ def make_apply_kernel(
     return kernel
 
 
-APPLY_RESULT_SCHEMA = "_bucket int, rows_written long, tombstones long, stats string"
+APPLY_RESULT_SCHEMA = (
+    "_bucket int, rows_written long, tombstones long, stats string, kept string"
+)

@@ -209,13 +209,42 @@ class LakeTable:
         """Row count for a bucket set from snapshot metadata (no scan)."""
         return sum(fi["rows"] for fi in self._iter_files(snap, buckets))
 
+    @staticmethod
+    def _key_range_from_footer(pf, key_col: str):
+        """(min, max) of ``key_col`` from the parquet row-group stats,
+        normalized to JSON-storable scalars (str for binary/utf8,
+        int/float as-is). None when unavailable or non-normalizable —
+        callers must then treat the file as intersecting everything."""
+        try:
+            idx = pf.schema_arrow.get_field_index(key_col)
+            if idx < 0:
+                return None
+            lo = hi = None
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                if not isinstance(mn, (str, int, float)) or isinstance(mn, bool):
+                    return None
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            return None if lo is None else (lo, hi)
+        except Exception:
+            return None
+
     def _enumerate_staged(
         self, stage_rel: str, stage_dir: str, touched: Sequence[int], schema_version: int
     ) -> dict[str, list[dict]]:
-        """List staged files per bucket; exact row counts come from the
-        parquet footers (driver-side metadata read, no Spark job)."""
+        """List staged files per bucket; exact row counts and first-key
+        min/max ranges come from the parquet footers (driver-side
+        metadata read, no Spark job). The key range is what lets later
+        merges skip files a batch cannot touch."""
         import pyarrow.parquet as pq
 
+        key0 = self._snapshot()["key_cols"][0] if touched else None
         new_files: dict[str, list[dict]] = {str(b): [] for b in touched}
         for b in touched:
             for deleted, dsub in ((False, "_del=false"), (True, "_del=true")):
@@ -225,12 +254,16 @@ class LakeTable:
                 for fn in sorted(os.listdir(bdir)):
                     if fn.endswith(".parquet"):
                         fpath = os.path.join(bdir, fn)
+                        pf = pq.ParquetFile(fpath)
+                        rng = self._key_range_from_footer(pf, key0)
                         new_files[str(b)].append(
                             {
                                 "path": os.path.relpath(fpath, self.root),
                                 "schema_version": schema_version,
                                 "deleted": deleted,
-                                "rows": pq.ParquetFile(fpath).metadata.num_rows,
+                                "rows": pf.metadata.num_rows,
+                                "kmin": None if rng is None else rng[0],
+                                "kmax": None if rng is None else rng[1],
                             }
                         )
         return new_files
@@ -451,7 +484,7 @@ class LakeTable:
                 "rows_in": 0,
                 "reason": "batch empty after exactly-once fence",
             }
-        touched, rows_in, late_events, max_ts, seg, per_partition = st
+        touched, rows_in, late_events, max_ts, seg, per_partition, kept = st
 
         # fold this batch's contiguous per-(partition, segment) offset
         # ranges into the commit log
@@ -464,11 +497,22 @@ class LakeTable:
             for k in new_offsets:
                 new_offsets[k] = _merge_ranges(new_offsets[k])
 
-        tgt_rows = self._file_rows(snap, touched)
+        # target rows actually read = touched buckets minus carried-over
+        # files (range-pruned files were never opened)
+        tgt_rows = sum(
+            fi["rows"]
+            for b in touched
+            for fi in snap["files"].get(str(b), [])
+            if fi["path"] not in kept.get(b, ())
+        )
         _log("apply done, enumerating staged files")
         new_files = self._enumerate_staged(stage_rel, stage_dir, touched, schema_version)
         files = dict(snap["files"])
-        files.update(new_files)
+        for b, staged in new_files.items():
+            carried = [
+                fi for fi in snap["files"].get(b, []) if fi["path"] in kept.get(int(b), ())
+            ]
+            files[b] = carried + staged
         rows_written = sum(fi["rows"] for fs in new_files.values() for fi in fs)
         tombstones = sum(
             fi["rows"] for fs in new_files.values() for fi in fs if fi["deleted"]
@@ -571,8 +615,12 @@ class LakeTable:
             off_col.alias("_off"),
             F.col("_segment"),
         )
+        # ship (rel_path, key_min, key_max) per file so each task can
+        # skip files whose first-key range the batch cannot touch —
+        # those survive unrewritten (carry-over), bounding task memory
+        # by TOUCHED-file size instead of bucket size
         files_by_bucket = {
-            int(b): [os.path.join(self.root, fi["path"]) for fi in fs]
+            int(b): [(fi["path"], fi.get("kmin"), fi.get("kmax")) for fi in fs]
             for b, fs in snap["files"].items()
         }
         kernel = make_apply_kernel(
@@ -583,6 +631,7 @@ class LakeTable:
             seq_col,
             wm_iso=wm,
             drop_late=bool(snap.get("drop_late")),
+            table_root=self.root,
         )
         # pin the partition count: REPARTITION_BY_NUM both defeats AQE
         # coalescing (sized on the small batch-side shuffle, blind to
@@ -606,6 +655,9 @@ class LakeTable:
         max_ts = None
         seg: dict[tuple[int, str], list[int]] = {}
         per_partition: dict[int, int] = {}
+        kept: dict[int, set[str]] = {
+            int(r["_bucket"]): set(_json.loads(r["kept"])) for r in res
+        }
         for r in res:
             for s in _json.loads(r["stats"]):
                 rows_in += s["c"]
@@ -621,7 +673,7 @@ class LakeTable:
                     seg[k][1] = max(seg[k][1], s["hi"])
                 else:
                     seg[k] = [s["lo"], s["hi"]]
-        return touched, rows_in, late_events, max_ts, seg, per_partition
+        return touched, rows_in, late_events, max_ts, seg, per_partition, kept
 
     def _merge_sql_job(
         self,
@@ -746,7 +798,8 @@ class LakeTable:
                 .mode("overwrite")
                 .parquet(stage_dir)
             )
-            return touched, rows_in, late_events, max_ts, seg, per_partition
+            # whole-bucket rewrite: nothing carried over
+            return touched, rows_in, late_events, max_ts, seg, per_partition, {}
         finally:
             src.unpersist()
 

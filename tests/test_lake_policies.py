@@ -197,6 +197,62 @@ def test_array_payload_falls_back_to_sql_on_default_merge(spark, tmp_path):
     assert got["emb"].iloc[3][0] == 3.0
 
 
+def test_merge_carries_over_range_pruned_files(spark, tmp_path):
+    """A merge must not rewrite files whose key range the batch cannot
+    touch: they survive byte-identical under the same path (snapshot
+    re-reference), so task memory is bounded by touched files, not the
+    whole bucket."""
+    import hashlib
+    import os
+
+    def rows(prefix, text, lsn0, ts):
+        return [
+            (f"{prefix}{i:02d}", 0, text, ts, "I" if text == "v1" else "U", lsn0 + i)
+            for i in range(50)
+        ]
+
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        seq_col="ts",
+        num_buckets=1,  # one bucket → pruning, not bucketing, must save us
+    )
+    tbl.merge(_events(spark, rows("a", "v1", 0, "2024-01-01 00:00:00")), mode="arrow")
+    snap1 = tbl.snapshot
+    afile = snap1["files"]["0"][0]
+    assert afile["kmin"] == "a00" and afile["kmax"] == "a49"
+    apath = os.path.join(tbl.root, afile["path"])
+    digest1 = hashlib.md5(open(apath, "rb").read()).hexdigest()
+
+    # disjoint key range: the a-file must be carried over untouched
+    m = tbl.merge(_events(spark, rows("m", "v1", 100, "2024-01-02 00:00:00")), mode="arrow")
+    assert m["target_rows_read"] == 0, "a-file was read despite disjoint range"
+    snap2 = tbl.snapshot
+    paths2 = [fi["path"] for fi in snap2["files"]["0"]]
+    assert afile["path"] in paths2 and len(paths2) == 2
+
+    # touch one m-key: m-file rewritten, a-file carried again
+    m = tbl.merge(
+        _events(spark, [("m10", 0, "v2", "2024-01-03 00:00:00", "U", 200)]), mode="arrow"
+    )
+    assert m["target_rows_read"] == 50, "only the m-file should be read"
+    snap3 = tbl.snapshot
+    paths3 = [fi["path"] for fi in snap3["files"]["0"]]
+    assert afile["path"] in paths3 and len(paths3) == 2
+    assert hashlib.md5(open(apath, "rb").read()).hexdigest() == digest1
+
+    got = tbl.read().toPandas()
+    assert len(got) == 100
+    assert got.set_index("conv_id")["text"]["m10"] == "v2"
+    assert set(got[got["conv_id"].str.startswith("a")]["text"]) == {"v1"}
+    # vacuum must keep every stage dir a carried file lives in
+    tbl.vacuum()
+    assert os.path.exists(apath)
+    assert tbl.read().count() == 100
+
+
 def test_binary_payload_supported_by_arrow_kernel(spark, tmp_path):
     schema = T.StructType(
         [
