@@ -79,6 +79,10 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # manifest documents are immutable once written, so a path->list
+        # cache makes steady-state metadata reads O(touched buckets):
+        # untouched buckets' manifests are served from memory
+        self._mcache: dict[str, list[dict]] = {}
 
     # ------------------------------------------------------------- DDL
     @staticmethod
@@ -126,7 +130,12 @@ class LakeTable:
             "drop_late": bool(drop_late),
             "schemas": {"0": schema_to_json(schema)},
             "current_schema_version": 0,
-            "files": {},  # bucket(str) -> [{path, schema_version, deleted, rows}]
+            # bucket(str) -> relpath of an immutable per-bucket manifest
+            # file listing [{path, schema_version, deleted, rows, kmin,
+            # kmax}]. Sharding the file inventory out of the snapshot
+            # document keeps commit metadata writes O(touched buckets)
+            # — the Iceberg manifest-tree answer, one level deep
+            "manifests": {},
             "commit_log": {},  # source_partition(str) -> [[lo, hi] applied offset ranges]
             "watermark_ts": None,  # ISO string of event-time watermark
             "lineage": [],
@@ -171,10 +180,64 @@ class LakeTable:
             f.write(str(snap["version"]))
         os.replace(vtmp, os.path.join(meta, "VERSION"))
 
+    # -- per-bucket file manifests ------------------------------------
+    def _load_manifest(self, rel: str) -> list[dict]:
+        cached = self._mcache.get(rel)
+        if cached is None:
+            with open(os.path.join(self.root, rel)) as f:
+                cached = json.load(f)["files"]
+            self._mcache[rel] = cached
+        return cached
+
+    def _files(self, snap: dict) -> dict[str, list[dict]]:
+        """bucket(str) -> file list, resolved through the manifest
+        pointers (or the legacy inline ``files`` map of pre-manifest
+        snapshots)."""
+        if "manifests" in snap:
+            return {b: self._load_manifest(rel) for b, rel in snap["manifests"].items()}
+        return snap["files"]
+
+    def _write_manifest(self, version: int, bucket, files: list[dict]) -> str:
+        rel = os.path.join("_meta", "manifests", f"m{int(version):08d}-b{bucket}.json")
+        path = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"files": files}, f)
+        os.replace(tmp, path)
+        self._mcache[rel] = files
+        return rel
+
+    def _commit_manifests(
+        self, snap: dict, new_version: int, changed: dict[str, list[dict]]
+    ) -> dict[str, str]:
+        """New manifest pointer map: write one manifest per CHANGED
+        bucket (empty list drops the bucket), carry every other pointer
+        by reference — commit metadata I/O is O(touched buckets). A
+        legacy inline snapshot is migrated in full once."""
+        if "manifests" in snap:
+            manifests = dict(snap["manifests"])
+        else:
+            manifests = {
+                b: self._write_manifest(new_version, b, fs)
+                for b, fs in snap["files"].items()
+                if b not in changed
+            }
+        for b, fs in changed.items():
+            if fs:
+                manifests[b] = self._write_manifest(new_version, b, fs)
+            else:
+                manifests.pop(b, None)
+        return manifests
+
     # public introspection -------------------------------------------------
     @property
     def snapshot(self) -> dict[str, Any]:
-        return self._snapshot()
+        """Current snapshot with the file inventory hydrated from the
+        per-bucket manifests (observability surface; the raw document
+        only carries manifest pointers)."""
+        snap = self._snapshot()
+        return {**snap, "files": self._files(snap)}
 
     def payload_schema(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self._snapshot()
@@ -197,7 +260,7 @@ class LakeTable:
 
     def _iter_files(self, snap: dict, buckets: Sequence[int] | None, include_deleted: bool = True):
         bset = None if buckets is None else set(buckets)
-        for b, files in snap["files"].items():
+        for b, files in self._files(snap).items():
             if bset is not None and int(b) not in bset:
                 continue
             for fi in files:
@@ -497,22 +560,22 @@ class LakeTable:
             for k in new_offsets:
                 new_offsets[k] = _merge_ranges(new_offsets[k])
 
+        fmap = self._files(snap)
         # target rows actually read = touched buckets minus carried-over
         # files (range-pruned files were never opened)
         tgt_rows = sum(
             fi["rows"]
             for b in touched
-            for fi in snap["files"].get(str(b), [])
+            for fi in fmap.get(str(b), [])
             if fi["path"] not in kept.get(b, ())
         )
         _log("apply done, enumerating staged files")
         new_files = self._enumerate_staged(stage_rel, stage_dir, touched, schema_version)
-        files = dict(snap["files"])
-        for b, staged in new_files.items():
-            carried = [
-                fi for fi in snap["files"].get(b, []) if fi["path"] in kept.get(int(b), ())
-            ]
-            files[b] = carried + staged
+        changed = {
+            b: [fi for fi in fmap.get(b, []) if fi["path"] in kept.get(int(b), ())] + staged
+            for b, staged in new_files.items()
+        }
+        manifests = self._commit_manifests(snap, new_version, changed)
         rows_written = sum(fi["rows"] for fs in new_files.values() for fi in fs)
         tombstones = sum(
             fi["rows"] for fs in new_files.values() for fi in fs if fi["deleted"]
@@ -553,11 +616,12 @@ class LakeTable:
             "version": new_version,
             "schemas": schemas,
             "current_schema_version": schema_version,
-            "files": files,
+            "manifests": manifests,
             "commit_log": new_offsets,
             "watermark_ts": new_wm,
             "lineage": (snap["lineage"] + [metrics])[-200:],
         }
+        new_snap.pop("files", None)  # legacy inline inventory, if any
         # phase 2: atomic metadata swap (aborts → staged files orphaned,
         # cleaned by vacuum(); the table itself is untouched)
         self._write_snapshot(new_snap, expect_version=expect_version)
@@ -621,7 +685,7 @@ class LakeTable:
         # by TOUCHED-file size instead of bucket size
         files_by_bucket = {
             int(b): [(fi["path"], fi.get("kmin"), fi.get("kmax")) for fi in fs]
-            for b, fs in snap["files"].items()
+            for b, fs in self._files(snap).items()
         }
         kernel = make_apply_kernel(
             files_by_bucket,
@@ -811,6 +875,7 @@ class LakeTable:
         compaction is the standard lake answer. Commits a new snapshot.
         """
         snap = self._snapshot()
+        fmap = self._files(snap)
         expect_version = snap["version"]
         new_version = expect_version + 1
         stage_rel = os.path.join("data", f"s{new_version}")
@@ -819,17 +884,20 @@ class LakeTable:
         (
             df.withColumn("_bucket_dir", F.col("_bucket"))
             .withColumn("_del", F.col("_deleted"))
-            .repartition(max(1, len(snap["files"])), "_bucket")
+            .repartition(max(1, len(fmap)), "_bucket")
             .write.partitionBy("_bucket_dir", "_del")
             .mode("overwrite")
             .parquet(stage_dir)
         )
-        touched = sorted(int(b) for b in snap["files"])
-        files = self._enumerate_staged(
+        touched = sorted(int(b) for b in fmap)
+        staged = self._enumerate_staged(
             stage_rel, stage_dir, touched, int(snap["current_schema_version"])
         )
-        files = {b: fs for b, fs in files.items() if fs}
-        new_snap = {**snap, "version": new_version, "files": files}
+        manifests = self._commit_manifests(
+            snap, new_version, {b: fs for b, fs in staged.items()}
+        )
+        new_snap = {**snap, "version": new_version, "manifests": manifests}
+        new_snap.pop("files", None)
         self._write_snapshot(new_snap, expect_version=expect_version)
 
     def expire_tombstones(self, older_than: str | None = None) -> dict[str, int]:
@@ -864,9 +932,10 @@ class LakeTable:
         stage_dir = os.path.join(self.root, stage_rel)
         seq_col = snap["seq_col"]
 
+        fmap = self._files(snap)
         dead_buckets = sorted(
             int(b)
-            for b, fs in snap["files"].items()
+            for b, fs in fmap.items()
             if any(fi.get("deleted") for fi in fs)
         )
         if not dead_buckets:
@@ -888,25 +957,32 @@ class LakeTable:
         staged = self._enumerate_staged(
             stage_rel, stage_dir, dead_buckets, int(snap["current_schema_version"])
         )
-        files: dict[str, list[dict]] = {}
+        changed: dict[str, list[dict]] = {}
         before = after = 0
-        for b, fs in snap["files"].items():
-            live = [fi for fi in fs if not fi.get("deleted")]
+        dead_set = set(dead_buckets)
+        for b, fs in fmap.items():
             olddead = [fi for fi in fs if fi.get("deleted")]
             before += sum(fi["rows"] for fi in olddead)
-            newdead = staged.get(b, []) if int(b) in set(dead_buckets) else olddead
+            if int(b) not in dead_set:
+                after += sum(fi["rows"] for fi in olddead)
+                continue
+            live = [fi for fi in fs if not fi.get("deleted")]
+            newdead = staged.get(b, [])
             after += sum(fi["rows"] for fi in newdead)
-            kept_files = live + newdead
-            if kept_files:
-                files[b] = kept_files
-        new_snap = {**snap, "version": new_version, "files": files}
+            changed[b] = live + newdead
+        manifests = self._commit_manifests(snap, new_version, changed)
+        new_snap = {**snap, "version": new_version, "manifests": manifests}
+        new_snap.pop("files", None)
         self._write_snapshot(new_snap, expect_version=expect_version)
         return {"expired": before - after, "kept": after}
 
     def vacuum(self) -> list[str]:
-        """Delete staged data dirs not referenced by the current snapshot."""
+        """Delete staged data dirs and manifest documents not referenced
+        by the current snapshot (this retires time travel to older
+        versions, as documented on ``read``)."""
         snap = self._snapshot()
-        live_dirs = {fi["path"].split(os.sep)[1] for fs in snap["files"].values() for fi in fs}
+        fmap = self._files(snap)
+        live_dirs = {fi["path"].split(os.sep)[1] for fs in fmap.values() for fi in fs}
         removed = []
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
@@ -914,4 +990,14 @@ class LakeTable:
                 if d not in live_dirs:
                     shutil.rmtree(os.path.join(data_root, d))
                     removed.append(d)
+        mdir = os.path.join(self.root, "_meta", "manifests")
+        if os.path.isdir(mdir):
+            live_manifests = {
+                os.path.basename(rel) for rel in snap.get("manifests", {}).values()
+            }
+            for f in sorted(os.listdir(mdir)):
+                if f.endswith(".json") and f not in live_manifests:
+                    os.remove(os.path.join(mdir, f))
+                    self._mcache.pop(os.path.join("_meta", "manifests", f), None)
+                    removed.append(os.path.join("manifests", f))
         return removed

@@ -43,6 +43,7 @@ class CDCApplier:
         metrics_dir: str | None = None,
         max_files_per_trigger: int = 4,
         compact_every: int = 0,
+        metrics_flush_every: int = 8,
     ):
         self.spark = spark
         self.table = table
@@ -56,13 +57,37 @@ class CDCApplier:
         self.compact_every = compact_every
         self._applied_since_compact = 0
         self.batch_metrics: list[dict] = []
+        # metrics are buffered and flushed every N batches (and at
+        # stream end): one small parquet file per N micro-batches
+        # instead of a 1-row Spark job + file per batch. Durability is
+        # best-effort by design — the authoritative lineage already
+        # rides the table snapshot's lineage tail, committed atomically
+        # with each merge; this table is the SQL-queryable projection.
+        self.metrics_flush_every = max(1, int(metrics_flush_every))
+        self._unflushed: list[dict] = []
+        self._flush_seq = 0
+
+    _METRIC_COLS = (
+        "epoch_id",
+        "version",
+        "skipped",
+        "rows_in",
+        "rows_after_fence",
+        "late_events",
+        "rows_written",
+        "tombstones",
+        "dedup_drops",
+        "buckets_touched",
+    )
 
     # -- foreachBatch body -------------------------------------------------
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         m = self.table.merge(batch)
         m["epoch_id"] = epoch_id
         self.batch_metrics.append(m)
-        self._write_metrics(m)
+        self._unflushed.append(m)
+        if len(self._unflushed) >= self.metrics_flush_every:
+            self._flush_metrics()
         if not m.get("skipped"):
             self._applied_since_compact += 1
             if self.compact_every and self._applied_since_compact >= self.compact_every:
@@ -70,24 +95,36 @@ class CDCApplier:
                 self.table.vacuum()
                 self._applied_since_compact = 0
 
-    def _write_metrics(self, m: dict) -> None:
-        row = {
-            k: m.get(k)
-            for k in (
-                "epoch_id",
-                "version",
-                "skipped",
-                "rows_in",
-                "rows_after_fence",
-                "late_events",
-                "rows_written",
-                "tombstones",
-                "dedup_drops",
-                "buckets_touched",
+    def _flush_metrics(self) -> None:
+        """Driver-side parquet append of the buffered metric rows — a
+        handful of scalars per micro-batch never justifies a Spark job."""
+        if not self._unflushed:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = self._unflushed
+        self._unflushed = []
+        tbl = pa.table(
+            {
+                c: pa.array(
+                    [r.get(c) for r in rows],
+                    type=pa.bool_() if c == "skipped" else pa.int64(),
+                )
+                for c in self._METRIC_COLS
+            }
+        )
+        os.makedirs(self.metrics_dir, exist_ok=True)
+        if self._flush_seq == 0:
+            # a resumed applier appends after prior runs' flush files
+            self._flush_seq = sum(
+                1 for f in os.listdir(self.metrics_dir) if f.endswith(".parquet")
             )
-        }
-        pdf = __import__("pandas").DataFrame([row])
-        self.spark.createDataFrame(pdf).write.mode("append").parquet(self.metrics_dir)
+        path = os.path.join(self.metrics_dir, f"metrics_{self._flush_seq:06d}.parquet")
+        self._flush_seq += 1
+        tmp = f"{path}.inprogress"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
 
     # -- run ----------------------------------------------------------------
     def run_available(self) -> list[dict]:
@@ -105,6 +142,7 @@ class CDCApplier:
             .start()
         )
         q.awaitTermination()
+        self._flush_metrics()
         return self.batch_metrics
 
     def metrics_table(self) -> DataFrame:

@@ -275,3 +275,57 @@ def test_binary_payload_supported_by_arrow_kernel(spark, tmp_path):
     tbl.merge(df, mode="arrow")
     got = tbl.read().toPandas().sort_values("doc_id")
     assert bytes(got["payload"].iloc[2]) == b"blob-2"
+
+
+def test_commit_metadata_is_per_touched_bucket(spark, tmp_path):
+    """Sharded snapshot metadata: a merge touching one bucket writes one
+    new manifest document, carries every other bucket's manifest by
+    reference, and the snapshot document itself stores only pointers."""
+    import glob
+    import json
+    import os
+
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        seq_col="ts",
+        num_buckets=8,
+    )
+    # seed every bucket
+    seed = [
+        (f"conv_{i:03d}", t, f"v1-{i}-{t}", "2024-01-01 00:00:00", "I", i * 10 + t)
+        for i in range(40)
+        for t in range(2)
+    ]
+    tbl.merge(_events(spark, seed))
+    snap1 = tbl._snapshot()
+    assert "files" not in snap1 and len(snap1["manifests"]) == 8
+    mdir = os.path.join(tbl.root, "_meta", "manifests")
+    n_manifests_v1 = len(glob.glob(os.path.join(mdir, "*.json")))
+
+    # touch exactly one key → one bucket
+    tbl.merge(_events(spark, [("conv_000", 0, "v2", "2024-01-02 00:00:00", "U", 999)]))
+    snap2 = tbl._snapshot()
+    new_manifests = glob.glob(os.path.join(mdir, f"m{snap2['version']:08d}-*.json"))
+    assert len(new_manifests) == 1, "only the touched bucket gets a new manifest"
+    carried = set(snap1["manifests"].items()) & set(snap2["manifests"].items())
+    assert len(carried) == 7, "untouched buckets carry their manifest pointers"
+    # the snapshot document holds pointers, not the file inventory
+    raw = json.load(open(os.path.join(tbl.root, "_meta", f"v{snap2['version']}.json")))
+    assert "files" not in raw
+    assert all(isinstance(v, str) for v in raw["manifests"].values())
+
+    # hydrated view still serves the full inventory; reads are intact
+    assert sum(len(v) for v in tbl.snapshot["files"].values()) >= 8
+    got = tbl.read().toPandas()
+    assert len(got) == 80
+    assert got.set_index(["conv_id", "turn_idx"])["text"]["conv_000", 0] == "v2"
+
+    # vacuum drops manifests no longer referenced, keeps the live ones
+    tbl.vacuum()
+    left = {os.path.basename(p) for p in glob.glob(os.path.join(mdir, "*.json"))}
+    assert left == {os.path.basename(r) for r in snap2["manifests"].values()}
+    assert len(left) <= n_manifests_v1 + 1
+    assert tbl.read().count() == 80

@@ -102,6 +102,29 @@ def test_stream_with_auto_compaction_matches_oracle(spark, tmp_path, log_and_ora
     assert n_files <= 2 * len(table.snapshot["files"]) + 8
 
 
+def test_metrics_sink_batches_flushes(spark, tmp_path, log_and_oracle):
+    """Metric rows are buffered and flushed every N batches: 8 files /
+    1 per trigger = 8 batches → ceil(8/3) = 3 metrics files, written
+    driver-side (no Spark job), still fully queryable."""
+    import math
+    import os
+
+    log_dir, files, expected = log_and_oracle
+    table = _mk_table(spark, tmp_path)
+    app = CDCApplier(
+        spark, table, log_dir, str(tmp_path / "ckpt"), str(tmp_path / "metrics"),
+        max_files_per_trigger=1, metrics_flush_every=3,
+    )
+    metrics = app.run_available()
+    n_batches = len(metrics)
+    assert n_batches == len(files)
+    flushed = [f for f in os.listdir(str(tmp_path / "metrics")) if f.endswith(".parquet")]
+    assert len(flushed) == math.ceil(n_batches / 3)
+    mt = app.metrics_table().toPandas()
+    assert len(mt) == n_batches
+    assert int(mt["rows_in"].sum()) == N
+
+
 def test_raw_json_parse_paths_agree(spark, tmp_path):
     ev = change_events(spark, 2000, n_convs=20, seed=33)
     raw_dir = str(tmp_path / "raw")
