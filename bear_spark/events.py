@@ -40,8 +40,17 @@ def change_events(
     disorder_sec: int = 2 * 3600,
     start_ts: str = DEFAULT_START,
     parallelism: int | None = None,
+    start: int = 0,
+    total_events: int | None = None,
 ) -> DataFrame:
     """Emit ``n_events`` change events in the ``CHANGE_EVENT_SCHEMA`` shape.
+
+    ``start``/``total_events`` carve a contiguous slice out of a larger
+    log: ``change_events(n, start=k*n, total_events=N)`` for k = 0..N/n
+    yields exactly the same events as one ``change_events(N)`` call —
+    soak/replay harnesses generate batch-by-batch without staging the
+    whole log. (``total_events`` keeps the derived conv-id space and
+    the event-time slope identical across slices.)
 
     - ``lsn``: the range id — globally unique, monotone.
     - ``ts``: loosely correlated with lsn (log position tracks event
@@ -52,9 +61,12 @@ def change_events(
       offsets are contiguous per shard (lsn = offset * P + shard).
     - ``hot_key_pct`` % of events collapse onto ``n_hot_keys`` conv_ids.
     """
+    total = total_events if total_events is not None else start + n_events
     if n_convs is None:
-        n_convs = max(10, n_events // (3 * turns_per_conv))
-    df = spark.range(0, n_events, 1, parallelism or spark.sparkContext.defaultParallelism)
+        n_convs = max(10, total // (3 * turns_per_conv))
+    df = spark.range(
+        start, start + n_events, 1, parallelism or spark.sparkContext.defaultParallelism
+    )
     i = F.col("id")
 
     conv_idx = F.when(
@@ -90,7 +102,7 @@ def change_events(
                 F.lit(0),
                 # event time tracks log position, ± bounded disorder
                 (
-                    i * F.lit(time_range_sec) / F.lit(max(1, n_events))
+                    i * F.lit(time_range_sec) / F.lit(max(1, total))
                     + (_h(i, seed + 9) % (2 * disorder_sec)).cast("double")
                     - F.lit(disorder_sec)
                 ).cast("double"),

@@ -37,6 +37,22 @@ def _live_state(table) -> pd.DataFrame:
     return table.read().toPandas()
 
 
+def test_generator_slices_compose(spark):
+    """Batch-wise generation (start/total_events) yields exactly the
+    same log as one full-range call — the soak harness's contract."""
+    import pandas as pd
+
+    full = (
+        change_events(spark, 6000, seed=11).toPandas().sort_values("lsn").reset_index(drop=True)
+    )
+    parts = [
+        change_events(spark, 2000, seed=11, start=k * 2000, total_events=6000).toPandas()
+        for k in range(3)
+    ]
+    sliced = pd.concat(parts).sort_values("lsn").reset_index(drop=True)
+    pd.testing.assert_frame_equal(sliced, full)
+
+
 def test_generator_deterministic(spark):
     a = change_events(spark, 1000, seed=3).toPandas().sort_values("lsn").reset_index(drop=True)
     b = change_events(spark, 1000, seed=3).toPandas().sort_values("lsn").reset_index(drop=True)
