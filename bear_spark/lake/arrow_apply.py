@@ -77,7 +77,7 @@ def supports_schema(spark_json: dict) -> bool:
 
 
 def make_apply_kernel(
-    files_by_bucket: dict[int, list[tuple]],
+    files_by_bucket: dict[int, list[tuple]] | None,
     target_schema_json: dict,
     stage_dir: str,
     key_cols: list[str],
@@ -86,13 +86,24 @@ def make_apply_kernel(
     drop_late: bool = False,
     table_root: str = "",
     compression: str = "snappy",
+    manifests_by_bucket: dict[int, str] | None = None,
 ) -> Callable:
     """Build the applyInPandas kernel for one merge.
 
-    ``files_by_bucket``: per bucket, existing data files as
-    ``(rel_path, key_min, key_max)`` tuples (all schema versions —
-    alignment to the target schema happens here, which is exactly the
-    registry-reconciler's "rewrite Arrow batches" step). Files whose
+    The kernel learns its bucket's existing data files one of two ways:
+
+    - ``manifests_by_bucket`` (preferred): per bucket, the rel path of
+      its immutable manifest document; the TASK reads its own manifest
+      from shared storage (same access path as the data files). The
+      closure then carries O(num_buckets) strings instead of the whole
+      file inventory — at millions of files, serializing the inventory
+      into every task closure is itself a scale bug.
+    - ``files_by_bucket`` (legacy inline snapshots): per bucket,
+      ``(rel_path, key_min, key_max)`` tuples shipped directly.
+
+    Either way the entries cover all schema versions — alignment to the
+    target schema happens here, which is exactly the
+    registry-reconciler's "rewrite Arrow batches" step. Files whose
     first-key [min, max] range contains NO batch key are CARRIED OVER
     untouched (their rel paths come back in the ``kept`` column and the
     driver re-references them in the new snapshot) — task memory is
@@ -198,9 +209,21 @@ def make_apply_kernel(
         # over byte-identical — at 10^10 rows this is the difference
         # between O(touched files) and O(whole bucket) per task
         batch_keys = pdf[key_cols[0]]
+        if manifests_by_bucket is not None:
+            mrel = manifests_by_bucket.get(bucket)
+            if mrel is None:
+                bucket_files = []
+            else:
+                with open(os.path.join(table_root, mrel)) as mf:
+                    bucket_files = [
+                        (fi["path"], fi.get("kmin"), fi.get("kmax"))
+                        for fi in _json.load(mf)["files"]
+                    ]
+        else:
+            bucket_files = (files_by_bucket or {}).get(bucket, ())
         kept_paths = []
         to_read = []
-        for rel, kmin, kmax in files_by_bucket.get(bucket, ()):
+        for rel, kmin, kmax in bucket_files:
             intersects = True
             if kmin is not None and kmax is not None:
                 try:

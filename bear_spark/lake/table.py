@@ -560,7 +560,15 @@ class LakeTable:
             for k in new_offsets:
                 new_offsets[k] = _merge_ranges(new_offsets[k])
 
-        fmap = self._files(snap)
+        # commit metadata needs only the TOUCHED buckets' file lists
+        if "manifests" in snap:
+            fmap = {
+                str(b): self._load_manifest(snap["manifests"][str(b)])
+                for b in touched
+                if str(b) in snap["manifests"]
+            }
+        else:
+            fmap = snap["files"]
         # target rows actually read = touched buckets minus carried-over
         # files (range-pruned files were never opened)
         tgt_rows = sum(
@@ -679,16 +687,26 @@ class LakeTable:
             off_col.alias("_off"),
             F.col("_segment"),
         )
-        # ship (rel_path, key_min, key_max) per file so each task can
-        # skip files whose first-key range the batch cannot touch —
-        # those survive unrewritten (carry-over), bounding task memory
-        # by TOUCHED-file size instead of bucket size
-        files_by_bucket = {
-            int(b): [(fi["path"], fi.get("kmin"), fi.get("kmax")) for fi in fs]
-            for b, fs in self._files(snap).items()
-        }
+        # tasks learn their bucket's files via the manifest POINTERS —
+        # each task reads its own (immutable) manifest from shared
+        # storage and range-skips files the batch cannot touch, so both
+        # the closure and task memory stay O(touched), not O(table).
+        # Legacy inline snapshots ship the file tuples directly.
+        if "manifests" in snap:
+            kern_kwargs = {
+                "manifests_by_bucket": {
+                    int(b): rel for b, rel in snap["manifests"].items()
+                }
+            }
+            files_arg = None
+        else:
+            kern_kwargs = {}
+            files_arg = {
+                int(b): [(fi["path"], fi.get("kmin"), fi.get("kmax")) for fi in fs]
+                for b, fs in snap["files"].items()
+            }
         kernel = make_apply_kernel(
-            files_by_bucket,
+            files_arg,
             schema_to_json(new_schema),
             stage_dir,
             list(key_cols),
@@ -696,6 +714,7 @@ class LakeTable:
             wm_iso=wm,
             drop_late=bool(snap.get("drop_late")),
             table_root=self.root,
+            **kern_kwargs,
         )
         # pin the partition count: REPARTITION_BY_NUM both defeats AQE
         # coalescing (sized on the small batch-side shuffle, blind to
