@@ -134,41 +134,70 @@ def make_apply_kernel(
             pa.set_io_thread_count(1)
 
         bucket = int(pdf["_bucket"].iloc[0])
+        precombined = "_cnt" in pdf.columns
+
+        def _naive_utc(s):
+            """Normalize event time to naive UTC (the snapshot watermark
+            format) regardless of how Arrow delivered it."""
+            if getattr(s.dtype, "tz", None) is not None:
+                return s.dt.tz_convert("UTC").dt.tz_localize(None)
+            return s
 
         # --- batch stats for this bucket's slice ----------------------
-        # normalize event time to naive UTC (the snapshot watermark
-        # format) regardless of how Arrow delivered it
-        ts_series = pdf[seq_col]
-        if getattr(ts_series.dtype, "tz", None) is not None:
-            ts_series = ts_series.dt.tz_convert("UTC").dt.tz_localize(None)
-        late_mask = (
-            (ts_series < pd.Timestamp(wm_iso))
-            if wm_iso
-            else pd.Series(False, index=pdf.index)
-        )
         stats = []
-        grouped = pdf.groupby(["_sp", "_segment"], sort=False, dropna=False)
-        for (sp, segf), idx in grouped.indices.items():
-            sub_off = pdf["_off"].iloc[idx]
-            mts = ts_series.iloc[idx].max()
-            stats.append(
-                {
-                    "sp": int(sp),
-                    "f": str(segf),
-                    "lo": int(sub_off.min()),
-                    "hi": int(sub_off.max()),
-                    "c": int(len(idx)),
-                    "late": int(late_mask.iloc[idx].sum()),
-                    "mts": None if pd.isna(mts) else mts.isoformat(),
-                }
+        if precombined:
+            # the driver pre-combined the batch per (key, sp, segment):
+            # each row carries its subset's count/late-count/offset
+            # range/max event time — fold them per (sp, segment)
+            mts_series = _naive_utc(pdf["_mts"])
+            grouped = pdf.groupby(["_sp", "_segment"], sort=False, dropna=False)
+            for (sp, segf), idx in grouped.indices.items():
+                mts = mts_series.iloc[idx].max()
+                stats.append(
+                    {
+                        "sp": int(sp),
+                        "f": str(segf),
+                        "lo": int(pdf["_lo"].iloc[idx].min()),
+                        "hi": int(pdf["_hi"].iloc[idx].max()),
+                        "c": int(pdf["_cnt"].iloc[idx].sum()),
+                        "late": int(pdf["_late_cnt"].iloc[idx].sum()),
+                        "mts": None if pd.isna(mts) else mts.isoformat(),
+                    }
+                )
+            pdf = pdf.drop(
+                columns=["_sp", "_segment", "_cnt", "_late_cnt", "_lo", "_hi", "_mts"]
             )
-        pdf = pdf.drop(columns=["_sp", "_off", "_segment"])
-        if drop_late and wm_iso:
-            # drop-late policy: late events are counted (stats above,
-            # offsets committed) but never applied — the watermark is a
-            # hard admission boundary, which is what makes tombstone
-            # expiry safe. NaT event times are kept (they lose LWW).
-            pdf = pdf.loc[~late_mask]
+        else:
+            ts_series = _naive_utc(pdf[seq_col])
+            late_mask = (
+                (ts_series < pd.Timestamp(wm_iso))
+                if wm_iso
+                else pd.Series(False, index=pdf.index)
+            )
+            grouped = pdf.groupby(["_sp", "_segment"], sort=False, dropna=False)
+            for (sp, segf), idx in grouped.indices.items():
+                sub_off = pdf["_off"].iloc[idx]
+                mts = ts_series.iloc[idx].max()
+                stats.append(
+                    {
+                        "sp": int(sp),
+                        "f": str(segf),
+                        "lo": int(sub_off.min()),
+                        "hi": int(sub_off.max()),
+                        "c": int(len(idx)),
+                        "late": int(late_mask.iloc[idx].sum()),
+                        "mts": None if pd.isna(mts) else mts.isoformat(),
+                    }
+                )
+            pdf = pdf.drop(columns=["_sp", "_off", "_segment"])
+            if drop_late and wm_iso:
+                # drop-late policy: late events are counted (stats above,
+                # offsets committed) but never applied — the watermark is
+                # a hard admission boundary, which is what makes tombstone
+                # expiry safe. NaT event times are kept (they lose LWW).
+                # (Pre-combine is disabled on drop-late tables: the
+                # subset winner could be late while a runner-up is not.)
+                pdf = pdf.loc[~late_mask]
         target = _arrow_schema(pa, target_schema_json)
         payload_names = [f.name for f in target]
         # event shape: payload + _bucket/_op/_elsn
