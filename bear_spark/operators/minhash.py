@@ -4,11 +4,16 @@ correctness baseline; at 100 TB the inverted-index join explodes on
 common shingles, while LSH keeps candidate generation linear-ish).
 
 Pipeline (all JVM built-ins, no Python in the loop):
-  shingle (3-word windows) → per-shingle 64-bit hashes (xxhash64 with k
-  seed salts) → signature = element-wise min per seed (k-column agg) →
-  band into b bands of r rows → hash each band → equi-join on
-  (band_id, band_hash) → candidate pairs (optionally verified with
-  exact Jaccard).
+  shingle (3-word windows) → per-shingle 60-bit hashes (md5-substring
+  family with k salt suffixes) → signature = element-wise min per salt
+  (k-column agg) → band into b bands of r rows → hash each band →
+  equi-join on (band_id, band_hash) → candidate pairs (optionally
+  verified with estimated Jaccard from full signatures).
+
+The hash family is md5-derived (15 hex chars = 60 bits, always positive
+in a signed long) rather than xxhash64 so the exact same values are
+reproducible in ANSI SQL — the driver's DuckDB oracle verifies the full
+pipeline bit-for-bit (see queries/textops.py minhash_oracle_sql).
 
 Reference note: the reference has no dedup operator at all (its
 idempotence is PK-upsert only, bear/db.py:72-83); this is part of the
@@ -17,8 +22,18 @@ training-data-pipeline extension the engine adds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def md5_long(col: Column, salt: str = "") -> Column:
+    """60-bit hash: first 15 hex chars of md5(col || salt) as a long.
+
+    Positive in both engines; DuckDB twin:
+    ``('0x' || substr(md5(x || salt), 1, 15))::BIGINT``.
+    """
+    h = F.md5(F.concat(col, F.lit(salt))) if salt else F.md5(col)
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
@@ -40,45 +55,43 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
 
 
 def minhash_signatures(
-    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 64, seed: int = 1
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 64
 ) -> DataFrame:
     """One row per doc with a `sig` array of num_hashes minima.
 
-    Each hash family member is xxhash64(shingle, salt_i); the signature
+    Each hash family member is md5_long(shingle, '#i'); the signature
     is a single groupBy with num_hashes min() aggregates — map-side
     combinable, one shuffle.
     """
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
+        F.min(md5_long(F.col("shingle"), f"#{i}")).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def band_hash_expr(sig_col: str, band: int, rows_per_band: int) -> Column:
+    """Hash of one band slice: md5 over the '|'-joined decimal values of
+    the slice, salted with the band id (DuckDB-reproducible)."""
+    sl = F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band)
+    joined = F.array_join(F.transform(sl, lambda x: x.cast("string")), "|")
+    return md5_long(joined, f"#{band}")
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", bands: int = 16
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 16, num_hashes: int = 64
 ) -> DataFrame:
     """Band the signature and emit candidate pairs sharing any band.
 
-    Join key is (band_id, hash(band slice)) — an equi-join, never a
-    cross join; pairs are deduplicated across bands.
+    Join key is (band_id, band_hash) — an equi-join, never a cross
+    join; pairs are deduplicated across bands.
     """
-    n = None  # rows per band derived from the array length at runtime
+    r = num_hashes // bands
     banded = sig.select(
         id_col,
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        F.col("sig"),
-                        b * (F.size("sig") / bands).cast("int") + 1,
-                        (F.size("sig") / bands).cast("int"),
-                    ).cast("string"),
-                    b,
-                ),
-            )
+            F.array(*[band_hash_expr("sig", b, r) for b in range(bands)])
         ).alias("band_id", "band_hash"),
     )
     a = banded.alias("a")
@@ -108,7 +121,7 @@ def minhash_neardup_pairs(
     signature positions)."""
     sh = shingles(docs, id_col, text_col)
     sig = minhash_signatures(sh, id_col, num_hashes)
-    pairs = lsh_candidate_pairs(sig, id_col, bands)
+    pairs = lsh_candidate_pairs(sig, id_col, bands, num_hashes)
     if verify_threshold is None:
         return pairs
     s1 = sig.select(F.col(id_col).alias("id1"), F.col("sig").alias("sig1"))

@@ -1,13 +1,18 @@
-"""SimHash document fingerprinting — 64-bit locality-sensitive hash
+"""SimHash document fingerprinting — 60-bit locality-sensitive hash
 where near-duplicate texts differ in few bits.
 
-Construction (all JVM built-ins): token → xxhash64 → for each of 64 bit
-positions, sum +1/-1 weighted votes across the document's tokens → bit
-i of the fingerprint = sign of vote i. Bucketing by the fingerprint's
-high bytes (or hamming-ball probing) gives near-dup candidates.
+Construction (all JVM built-ins): token → 60-bit md5-substring hash →
+for each of 60 bit positions, sum +1/-1 weighted votes across the
+document's tokens → bit i of the fingerprint = sign of vote i.
+Bucketing by 15-bit chunks (pigeonhole) gives near-dup candidates.
 
-Implementation shape: one explode + one groupBy with 64 conditional
-sums (map-side combinable), then bit-assembly with conv/shiftleft.
+60 bits (15 hex chars of md5) rather than 64 so the hash value is
+always positive in a signed long and the exact construction is
+reproducible in ANSI SQL — the driver's DuckDB oracle verifies the
+fingerprints bit-for-bit (see queries/textops.py simhash_oracle_sql).
+
+Implementation shape: one explode + one groupBy with 60 conditional
+sums (map-side combinable), then bit-assembly with shiftleft.
 """
 
 from __future__ import annotations
@@ -15,14 +20,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BITS = 64
+from bear_spark.operators.minhash import md5_long
+
+BITS = 60
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per doc: `simhash` (64-bit long) fingerprint."""
+    """One row per doc: `simhash` (60-bit long) fingerprint."""
     toks = docs.select(
         id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", md5_long(F.col("tok")))
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
@@ -48,10 +55,10 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
-    band_bits: int = 16,
+    band_bits: int = 15,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
-    64/band_bits chunks (pigeonhole: any pair within max_hamming shares
+    """Near-dup pairs by SimHash: band the 60-bit fingerprint into
+    60/band_bits chunks (pigeonhole: any pair within max_hamming shares
     at least one exact chunk when bands > max_hamming), equi-join on
     (band, chunk), then verify with exact hamming distance."""
     fps = simhash(docs, id_col, text_col)

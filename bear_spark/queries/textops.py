@@ -188,32 +188,144 @@ def doc_reconstruct_from_positions(spark, sf_dir):
     )
 
 
-@query("minhash_neardup_docs")  # xxhash64 family not reproducible in DuckDB → rows-only
+def _md5_bigint_sql(expr: str) -> str:
+    """DuckDB twin of operators.minhash.md5_long: 60-bit positive hash."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.4) -> str:
+    """Full MinHash+LSH pipeline in ANSI SQL, value-identical to
+    operators/minhash.py (same md5-substring hash family, same banding,
+    same est-Jaccard verify)."""
+    r = num_hashes // bands
+    mins = ",\n             ".join(
+        "min({h}) AS h{i}".format(h=_md5_bigint_sql("shingle || '#%d'" % i), i=i)
+        for i in range(num_hashes)
+    )
+
+    def band_select(b: int) -> str:
+        joined = " || '|' || ".join(f"h{b * r + j}::VARCHAR" for j in range(r))
+        return (
+            f"SELECT doc_id, {b} AS band_id, "
+            + _md5_bigint_sql(joined + " || '#%d'" % b)
+            + " AS band_hash FROM sig"
+        )
+
+    banded = "\n      UNION ALL ".join(band_select(b) for b in range(bands))
+    eq = " + ".join(f"(s1.h{i} = s2.h{i})::INT" for i in range(num_hashes))
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(w, (x, i) ->
+                 CASE WHEN i + 2 <= len(w) THEN x || ' ' || w[i+1] || ' ' || w[i+2] END)) AS shingle
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents)
+      ) WHERE shingle IS NOT NULL
+    ),
+    sig AS (SELECT doc_id, {mins}
+            FROM sh GROUP BY doc_id),
+    banded AS (
+      {banded}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, est_jaccard FROM (
+      SELECT p.id1, p.id2, round(({eq}) / {num_hashes}.0, 4) AS est_jaccard
+      FROM pairs p JOIN sig s1 ON p.id1 = s1.doc_id JOIN sig s2 ON p.id2 = s2.doc_id
+    ) WHERE est_jaccard >= {threshold}
+    """
+
+
+@query("minhash_neardup_docs", _minhash_oracle_sql())
 def minhash_neardup_docs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (shingle → k-min signature → banded
     equi-join) — the 100 TB-scale replacement for the exact shingle
-    join below; see operators/minhash.py. Verified against the exact
-    Jaccard baseline in tests/test_dedup_similarity_ops.py."""
+    join below; see operators/minhash.py. md5-substring hash family →
+    the full pipeline is DuckDB-oracle-verified bit-for-bit; recall vs
+    the exact Jaccard baseline in tests/test_dedup_similarity_ops.py."""
     from bear_spark.operators.minhash import minhash_neardup_pairs
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_neardup_pairs(d, verify_threshold=0.4)
 
 
-@query("simhash_fingerprints")  # rows-only (xxhash64-based)
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """SimHash fingerprints in ANSI SQL, value-identical to
+    operators/simhash.py (same 60-bit md5-substring token hash)."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {_md5_bigint_sql('tok')} AS h FROM toks),
+    votes AS (SELECT doc_id, {votes}
+              FROM h GROUP BY doc_id)
+    SELECT doc_id, ({fp})::BIGINT AS simhash FROM votes
+    """
+
+
+@query("simhash_fingerprints", _simhash_oracle_sql())
 def simhash_fingerprints(spark, sf_dir):
-    """64-bit SimHash per document (operators/simhash.py)."""
+    """60-bit SimHash per document (operators/simhash.py); md5-derived
+    token hashes → DuckDB-oracle-verified bit-for-bit."""
     from bear_spark.operators.simhash import simhash
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash(d)
 
 
-@query("lsh_ann_topk")  # rows-only (random-hyperplane buckets)
+def _lsh_ann_oracle_sql(
+    dim: int = 64, n_planes: int = 4, seed: int = 7, max_probe_hamming: int = 2, k: int = 10
+) -> str:
+    """Random-hyperplane LSH ANN in ANSI SQL: the hyperplanes are
+    seeded literals shared with operators/similarity._planes, so both
+    engines bucket identically; exact cosine re-scoring within the
+    probed buckets."""
+    from bear_spark.operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    plane_lits = [f"[{', '.join(repr(float(x)) for x in p)}]::DOUBLE[]" for p in planes]
+    p_cols = ", ".join(f"{lit} AS p{i}" for i, lit in enumerate(plane_lits))
+
+    def bucket(vcol: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vcol}, p{i}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+
+    return f"""
+    WITH p AS (SELECT {p_cols}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({bucket('qv')})::BIGINT AS qbucket FROM q, p),
+    bucketed AS (
+      SELECT vec_id, v, ({bucket('v')})::BIGINT AS bucket
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), p
+    )
+    SELECT vec_id,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM bucketed, q, qb
+    WHERE bit_count(xor(bucket, qbucket)) <= {max_probe_hamming}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@query("lsh_ann_topk", _lsh_ann_oracle_sql())
 def lsh_ann_topk_q(spark, sf_dir):
     """Approximate nearest neighbors via random-hyperplane LSH with
-    multi-probe, exact-scored within candidates (operators/similarity.py);
-    recall vs brute force asserted in tests."""
+    multi-probe, exact-scored within candidates (operators/similarity.py).
+    The seeded hyperplanes are literals in both engines, so the DuckDB
+    oracle reproduces bucketing + scoring exactly; recall vs brute
+    force additionally asserted in tests."""
     from pyspark.sql import functions as F
 
     from bear_spark.operators.similarity import lsh_ann_topk
