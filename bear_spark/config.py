@@ -64,6 +64,8 @@ class Settings:
     lateness_sec: int = 3600
     drop_late: bool = False
     merge_mode: str = "arrow"  # "arrow" | "sql"
+    merge_precombine: str = "auto"  # "auto" | "1" | "0" (map-side LWW)
+    target_file_rows: int = 2_000_000  # split merge output files at N rows
 
     # streaming applier (bear_spark/streaming/apply.py)
     max_files_per_trigger: int = 4

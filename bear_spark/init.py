@@ -65,6 +65,9 @@ def bootstrap(
             max_files_per_trigger=s.max_files_per_trigger,
             compact_every=s.compact_every,
             metrics_flush_every=s.metrics_flush_every,
+            merge_mode=s.merge_mode,
+            merge_precombine={"1": True, "0": False}.get(s.merge_precombine),
+            target_file_rows=s.target_file_rows,
         )
         metrics = app.run_available()
     return table, metrics

@@ -87,6 +87,7 @@ def make_apply_kernel(
     table_root: str = "",
     compression: str = "snappy",
     manifests_by_bucket: dict[int, str] | None = None,
+    target_file_rows: int = 2_000_000,
 ) -> Callable:
     """Build the applyInPandas kernel for one merge.
 
@@ -164,6 +165,8 @@ def make_apply_kernel(
                         "mts": None if pd.isna(mts) else mts.isoformat(),
                     }
                 )
+            key_counts = pdf.groupby(key_cols[0], sort=False)["_cnt"].sum()
+            max_key_rows = int(key_counts.max()) if len(key_counts) else 0
             pdf = pdf.drop(
                 columns=["_sp", "_segment", "_cnt", "_late_cnt", "_lo", "_hi", "_mts"]
             )
@@ -189,6 +192,12 @@ def make_apply_kernel(
                         "mts": None if pd.isna(mts) else mts.isoformat(),
                     }
                 )
+            # hottest-key share of the BATCH slice (pre-LWW, pre-filter):
+            # the driver records max over buckets in lineage and
+            # auto-enables map-side pre-combine on the NEXT batch when a
+            # hot key persists
+            vc = pdf[key_cols[0]].value_counts()
+            max_key_rows = int(vc.iloc[0]) if len(vc) else 0
             pdf = pdf.drop(columns=["_sp", "_off", "_segment"])
             if drop_late and wm_iso:
                 # drop-late policy: late events are counted (stats above,
@@ -326,6 +335,7 @@ def make_apply_kernel(
         full = full.sort_by([(k, "ascending") for k in key_cols])
         sorted_del = full.column("_deleted")
         counts = {False: 0, True: 0}
+        tfr = max(1, int(target_file_rows))
         for deleted, mask in ((False, pc.invert(sorted_del)), (True, sorted_del)):
             sub = full.filter(mask)
             if sub.num_rows == 0:
@@ -334,10 +344,18 @@ def make_apply_kernel(
                 stage_dir, f"_bucket_dir={bucket}", f"_del={str(deleted).lower()}"
             )
             os.makedirs(d, exist_ok=True)
-            final_path = os.path.join(d, f"part-{bucket:05d}.parquet")
-            tmp_path = final_path + f".tmp-{uuid.uuid4().hex}"
-            pq.write_table(sub, tmp_path, compression=compression)
-            os.replace(tmp_path, final_path)  # idempotent under task retry
+            # split at target_file_rows: a batch that touches a bucket's
+            # whole key range must not produce one unbounded file — the
+            # slices are key-sorted, so each chunk keeps a tight,
+            # non-overlapping [kmin, kmax] for later range pruning.
+            # Chunk names are deterministic → idempotent under retry.
+            n_chunks = (sub.num_rows + tfr - 1) // tfr
+            for i in range(n_chunks):
+                chunk = sub.slice(i * tfr, tfr)
+                final_path = os.path.join(d, f"part-{bucket:05d}-c{i:04d}.parquet")
+                tmp_path = final_path + f".tmp-{uuid.uuid4().hex}"
+                pq.write_table(chunk, tmp_path, compression=compression)
+                os.replace(tmp_path, final_path)  # idempotent under task retry
             counts[deleted] = sub.num_rows
 
         return pd.DataFrame(
@@ -346,6 +364,7 @@ def make_apply_kernel(
                     "_bucket": bucket,
                     "rows_written": counts[False] + counts[True],
                     "tombstones": counts[True],
+                    "max_key_rows": max_key_rows,
                     "stats": _json.dumps(stats),
                     "kept": _json.dumps(kept_paths),
                 }
@@ -356,5 +375,6 @@ def make_apply_kernel(
 
 
 APPLY_RESULT_SCHEMA = (
-    "_bucket int, rows_written long, tombstones long, stats string, kept string"
+    "_bucket int, rows_written long, tombstones long, max_key_rows long, "
+    "stats string, kept string"
 )

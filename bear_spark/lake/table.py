@@ -198,7 +198,15 @@ class LakeTable:
         return snap["files"]
 
     def _write_manifest(self, version: int, bucket, files: list[dict]) -> str:
-        rel = os.path.join("_meta", "manifests", f"m{int(version):08d}-b{bucket}.json")
+        # write-once: a per-call uuid token keeps two writers racing on
+        # the same base version from clobbering each other's manifest —
+        # the loser's ConcurrentCommit then leaves the winner's already-
+        # committed pointers intact. Names are only reachable through
+        # snapshot pointers, so they need not be deterministic.
+        token = uuid.uuid4().hex[:8]
+        rel = os.path.join(
+            "_meta", "manifests", f"m{int(version):08d}-b{bucket}-{token}.json"
+        )
         path = os.path.join(self.root, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
@@ -408,7 +416,12 @@ class LakeTable:
 
     # ------------------------------------------------------------ MERGE
     def merge(
-        self, batch: DataFrame, fence: bool = True, mode: str | None = None
+        self,
+        batch: DataFrame,
+        fence: bool = True,
+        mode: str | None = None,
+        precombine: bool | None = None,
+        target_file_rows: int | None = None,
     ) -> dict[str, Any]:
         """MERGE a batch of change events into the table (copy-on-write).
 
@@ -435,6 +448,15 @@ class LakeTable:
         files (driver-side metadata, no extra scan).
         """
         mode = mode or os.environ.get("BEAR_MERGE_MODE", "arrow")
+        if precombine is None:
+            envv = os.environ.get("BEAR_MERGE_PRECOMBINE", "auto").lower()
+            if envv in ("1", "true", "on"):
+                precombine = True
+            elif envv in ("0", "false", "off"):
+                precombine = False
+            # else: None = adaptive (previous batch's skew stat decides)
+        if target_file_rows is None:
+            target_file_rows = int(os.environ.get("BEAR_TARGET_FILE_ROWS", "2000000"))
         snap = self._snapshot()
         expect_version = snap["version"]
         key_cols = snap["key_cols"]
@@ -530,11 +552,16 @@ class LakeTable:
         shuffle_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
 
         _log(f"apply start (mode={mode})")
+        max_key_rows = None
+        used_precombine = False
         if mode == "arrow":
             st = self._merge_arrow_job(
                 src, snap, new_schema, stage_dir, shuffle_parts, has_env, wm,
-                key_cols, seq_col,
+                key_cols, seq_col, precombine=precombine,
+                target_file_rows=target_file_rows,
             )
+            if st is not None:
+                st, max_key_rows, used_precombine = st
         else:
             st = self._merge_sql_job(
                 src, snap, new_schema, stage_dir, shuffle_parts, has_env, wm,
@@ -614,6 +641,12 @@ class LakeTable:
             # per-partition lineage/metrics); -1 = envelope-less batch
             "rows_by_partition": {str(k): v for k, v in sorted(per_partition.items())},
         }
+        if max_key_rows is not None:
+            # batch skew stat: drives the NEXT batch's adaptive map-side
+            # pre-combine decision (a hot conv_id persists across batches)
+            metrics["max_key_rows"] = max_key_rows
+            metrics["max_key_share"] = round(max_key_rows / rows_in, 4) if rows_in else 0.0
+            metrics["precombine"] = used_precombine
 
         schemas = dict(snap["schemas"])
         if changes:
@@ -660,6 +693,8 @@ class LakeTable:
         wm: str | None,
         key_cols: Sequence[str],
         seq_col: str,
+        precombine: bool | None = None,
+        target_file_rows: int = 2_000_000,
     ):
         """File-granularity COW in ONE job: shuffle only the batch, by
         bucket; each task reads its buckets' existing files directly,
@@ -668,8 +703,9 @@ class LakeTable:
         table rows never cross the shuffle — at steady state this moves
         O(batch) bytes where the SQL path moves O(batch + table).
 
-        Returns (touched, rows_in, late_events, max_ts, seg_ranges), or
-        None if the batch is empty after the exactly-once fence.
+        Returns ((touched, rows_in, late_events, max_ts, seg_ranges,
+        per_partition, kept), max_key_rows, used_precombine), or None if
+        the batch is empty after the exactly-once fence.
         """
         import json as _json
 
@@ -697,20 +733,31 @@ class LakeTable:
         # before anything shuffles — the salting the north rule asks
         # for, expressed as Catalyst partial aggregation. Counts/offset
         # ranges/lateness ride along per subset so commit stats stay
-        # exact. OPT-IN ($BEAR_MERGE_PRECOMBINE=1): it buys an extra
-        # full-batch shuffle+agg, which a measured A/B (8M events,
-        # local[8], identical integrity counters) priced at ~1.4x wall
-        # time under this repo's 20%-hot-key generator — worth it only
-        # under more extreme skew (one task drowning in a single key)
-        # or on clusters where shuffle bytes, not CPU, are the scarce
-        # resource. Disabled on drop-late tables regardless: the subset
-        # winner could be late while an admissible runner-up exists, so
-        # those tables keep the raw path (the kernel filters late
-        # events itself).
-        precombine = (
-            os.environ.get("BEAR_MERGE_PRECOMBINE", "0") == "1"
-            and not snap.get("drop_late")
-        )
+        # exact. It buys an extra full-batch shuffle+agg, which a
+        # measured A/B (8M events, local[8], identical integrity
+        # counters) priced at ~1.4x wall time under this repo's
+        # 20%-hot-key generator — worth it only under more extreme skew
+        # (one task drowning in a single key) or on clusters where
+        # shuffle bytes, not CPU, are the scarce resource. Default is
+        # therefore ADAPTIVE: engage when the PREVIOUS batch's lineage
+        # shows one key holding ≥ $BEAR_PRECOMBINE_SHARE (default 0.5)
+        # of ≥ $BEAR_PRECOMBINE_MIN_ROWS rows — a hot-key storm persists
+        # across batches, so last batch's skew is this batch's best
+        # predictor, and the stat is free (the kernel already computes
+        # it). $BEAR_MERGE_PRECOMBINE=1/0 (or the merge() arg) forces.
+        # Disabled on drop-late tables regardless: the subset winner
+        # could be late while an admissible runner-up exists, so those
+        # tables keep the raw path (the kernel filters late events
+        # itself).
+        if precombine is None:
+            share_thr = float(os.environ.get("BEAR_PRECOMBINE_SHARE", "0.5"))
+            min_rows = int(os.environ.get("BEAR_PRECOMBINE_MIN_ROWS", "100000"))
+            last = snap["lineage"][-1] if snap.get("lineage") else {}
+            precombine = (
+                last.get("rows_in", 0) >= min_rows
+                and last.get("max_key_share", 0.0) >= share_thr
+            )
+        precombine = bool(precombine) and not snap.get("drop_late")
         if precombine:
             late_col = (
                 (F.col(seq_col) < F.lit(wm).cast("timestamp")).cast("long")
@@ -764,6 +811,7 @@ class LakeTable:
             wm_iso=wm,
             drop_late=bool(snap.get("drop_late")),
             table_root=self.root,
+            target_file_rows=target_file_rows,
             **kern_kwargs,
         )
         # pin the partition count: REPARTITION_BY_NUM both defeats AQE
@@ -806,7 +854,12 @@ class LakeTable:
                     seg[k][1] = max(seg[k][1], s["hi"])
                 else:
                     seg[k] = [s["lo"], s["hi"]]
-        return touched, rows_in, late_events, max_ts, seg, per_partition, kept
+        max_key_rows = max(int(r["max_key_rows"]) for r in res)
+        return (
+            (touched, rows_in, late_events, max_ts, seg, per_partition, kept),
+            max_key_rows,
+            precombine,
+        )
 
     def _merge_sql_job(
         self,
@@ -937,30 +990,48 @@ class LakeTable:
             src.unpersist()
 
     # ------------------------------------------------------- maintenance
-    def compact(self, target_files_per_bucket: int = 1) -> None:
-        """Rewrite each bucket's files into fewer, larger files.
+    def compact(self, target_files_per_bucket: int = 1) -> dict[str, int]:
+        """Rewrite FRAGMENTED buckets' files into fewer, larger files.
 
-        COW merges leave multiple files per bucket (one per writer task);
-        compaction is the standard lake answer. Commits a new snapshot.
-        """
+        COW merges leave multiple files per bucket (chunked writes, task
+        parallelism); compaction is the standard lake answer. Only
+        buckets holding more than ``target_files_per_bucket`` data files
+        are rewritten — every other bucket's manifest pointer is carried
+        by reference, so the job reads O(fragmented), not O(table). A
+        no-op (nothing fragmented) commits nothing. Rewritten files are
+        re-sorted by key (the lake file sort-order spec: tight parquet
+        min/max ranges for merge-time pruning)."""
         snap = self._snapshot()
         fmap = self._files(snap)
+        tgt = max(1, int(target_files_per_bucket))
+
+        def _fragmented(fs: list[dict]) -> bool:
+            # live and tombstone files land in separate dirs, so the
+            # floor is one file per side — count the sides separately
+            live = sum(1 for fi in fs if not fi.get("deleted"))
+            return live > tgt or (len(fs) - live) > tgt
+
+        frag = sorted(int(b) for b, fs in fmap.items() if _fragmented(fs))
+        if not frag:
+            return {"buckets_compacted": 0, "files_before": 0}
+        files_before = sum(len(fmap[str(b)]) for b in frag)
         expect_version = snap["version"]
         new_version = expect_version + 1
         stage_rel = os.path.join("data", f"s{new_version}")
         stage_dir = os.path.join(self.root, stage_rel)
-        df = self._read_files(snap, None)
+        key_cols = snap["key_cols"]
+        df = self._read_files(snap, frag)
         (
             df.withColumn("_bucket_dir", F.col("_bucket"))
             .withColumn("_del", F.col("_deleted"))
-            .repartition(max(1, len(fmap)), "_bucket")
+            .repartition(len(frag), "_bucket")
+            .sortWithinPartitions("_bucket_dir", "_del", *key_cols)
             .write.partitionBy("_bucket_dir", "_del")
             .mode("overwrite")
             .parquet(stage_dir)
         )
-        touched = sorted(int(b) for b in fmap)
         staged = self._enumerate_staged(
-            stage_rel, stage_dir, touched, int(snap["current_schema_version"])
+            stage_rel, stage_dir, frag, int(snap["current_schema_version"])
         )
         manifests = self._commit_manifests(
             snap, new_version, {b: fs for b, fs in staged.items()}
@@ -968,6 +1039,7 @@ class LakeTable:
         new_snap = {**snap, "version": new_version, "manifests": manifests}
         new_snap.pop("files", None)
         self._write_snapshot(new_snap, expect_version=expect_version)
+        return {"buckets_compacted": len(frag), "files_before": files_before}
 
     def expire_tombstones(self, older_than: str | None = None) -> dict[str, int]:
         """Drop delete markers with event time below ``older_than``

@@ -113,11 +113,13 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_region_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: fact-fact joins (lineitem ⋈ orders ⋈ customer)
-    shuffle on their keys — orders and customer grow with the fact data
-    and must NOT be broadcast at scale; only the genuinely small dims
-    (supplier/nation/region) are broadcast. AQE converts to broadcast
-    at runtime when a side happens to be small."""
+    """TPC-H Q5 shape: fact-fact joins (lineitem ⋈ orders ⋈ customer ⋈
+    supplier) shuffle on their keys — orders, customer AND supplier all
+    grow with sf (supplier is 10k rows/sf; ~10M rows at a 100 TB-class
+    sf) and must NOT carry an unconditional broadcast hint; only the
+    genuinely bounded dims (nation: 25 rows, region: 5) are hinted.
+    AQE converts any side to broadcast at runtime when it measures
+    small."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -128,7 +130,7 @@ def q5_region_revenue(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)

@@ -17,9 +17,11 @@ on purpose:
 - **Durable resume.** The reference restarts a crawl from scratch on
   crash. Here a cursor-state file advances atomically (``os.replace``)
   only when the records it covers are durably spilled, so a restarted
-  tail refetches AT MOST the unspilled suffix. Chunk file names are
-  deterministic per spill seq, so a half-written orphan from a crash is
-  simply overwritten on resume.
+  tail refetches AT MOST the unspilled suffix. Chunk names are
+  write-once (seq + uuid token): a crash orphan is never overwritten —
+  a live source can repaginate differently on resume, and a streaming
+  consumer that already read the orphan would otherwise lose the rows
+  that moved; the orphan's duplicate coverage is fenced downstream.
 - **Exactly-once end-to-end anyway.** Even when a crash lands between
   "chunk spilled" and "state advanced" (the unavoidable at-least-once
   window of any log tail), the refetched records carry the same
@@ -181,10 +183,17 @@ class LiveTail:
 
     # -- spill ---------------------------------------------------------
     def _spill(self, records: list[dict], seq: int) -> str:
-        """Write one chunk file. Deterministic name per seq: a resume
-        that refetches the same records overwrites a crash's orphan
-        instead of duplicating it. Write is tmp + os.replace so readers
-        (the streaming file source) never see a partial file."""
+        """Write one chunk file. Names are write-once (seq + a per-write
+        uuid token): a crash between spill and cursor commit leaves an
+        orphan chunk that a resume DUPLICATES rather than overwrites —
+        overwriting would lose records a streaming consumer already read
+        if the live source repaginates differently (e.g. rows appended),
+        since file streams never re-read a replaced path. The duplicate
+        coverage is exact-once downstream: both files carry the same
+        (source_partition, offset) envelope and the lake commit log
+        fences replayed offsets. Write is dot-hidden tmp + os.replace so
+        directory-listing readers (Spark's file stream only hides '_'/
+        '.'-prefixed names) never see a partial file."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -203,8 +212,9 @@ class LiveTail:
                 for f in table.schema
             ]
             table = table.cast(pa.schema(fields))
-        path = os.path.join(self.out_dir, f"chunk_{seq:06d}.parquet")
-        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        token = uuid.uuid4().hex[:8]
+        path = os.path.join(self.out_dir, f"chunk_{seq:06d}-{token}.parquet")
+        tmp = os.path.join(self.out_dir, f".chunk_{seq:06d}-{token}.tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, path)
         return path

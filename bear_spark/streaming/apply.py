@@ -44,6 +44,9 @@ class CDCApplier:
         max_files_per_trigger: int = 4,
         compact_every: int = 0,
         metrics_flush_every: int = 8,
+        merge_mode: str | None = None,
+        merge_precombine: bool | None = None,
+        target_file_rows: int | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -51,6 +54,11 @@ class CDCApplier:
         self.checkpoint_dir = checkpoint_dir
         self.metrics_dir = metrics_dir or os.path.join(checkpoint_dir, "..", "metrics")
         self.max_files_per_trigger = max_files_per_trigger
+        # merge knobs threaded through from Settings (None defers to
+        # LakeTable.merge's env/default resolution)
+        self.merge_mode = merge_mode
+        self.merge_precombine = merge_precombine
+        self.target_file_rows = target_file_rows
         # bound small-file accumulation on long streams: every N applied
         # (non-skipped) batches, rewrite each bucket into one file and
         # vacuum superseded staging dirs. 0 disables.
@@ -78,11 +86,17 @@ class CDCApplier:
         "tombstones",
         "dedup_drops",
         "buckets_touched",
+        "max_key_rows",
     )
 
     # -- foreachBatch body -------------------------------------------------
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        m = self.table.merge(batch)
+        m = self.table.merge(
+            batch,
+            mode=self.merge_mode,
+            precombine=self.merge_precombine,
+            target_file_rows=self.target_file_rows,
+        )
         m["epoch_id"] = epoch_id
         self.batch_metrics.append(m)
         self._unflushed.append(m)
@@ -116,13 +130,27 @@ class CDCApplier:
         )
         os.makedirs(self.metrics_dir, exist_ok=True)
         if self._flush_seq == 0:
-            # a resumed applier appends after prior runs' flush files
+            # a resumed applier appends after prior runs' flush files;
+            # stale dot-hidden temp files from a crashed flush are swept
+            for f in os.listdir(self.metrics_dir):
+                if f.startswith(".") and ".inprogress" in f:
+                    try:
+                        os.remove(os.path.join(self.metrics_dir, f))
+                    except OSError:
+                        pass
             self._flush_seq = sum(
-                1 for f in os.listdir(self.metrics_dir) if f.endswith(".parquet")
+                1
+                for f in os.listdir(self.metrics_dir)
+                if f.endswith(".parquet") and not f.startswith(".")
             )
         path = os.path.join(self.metrics_dir, f"metrics_{self._flush_seq:06d}.parquet")
         self._flush_seq += 1
-        tmp = f"{path}.inprogress"
+        # dot-prefixed temp: parquet directory readers (metrics_table()
+        # = spark.read.parquet) ignore hidden files, so a concurrent or
+        # crashed flush never breaks the read
+        tmp = os.path.join(
+            self.metrics_dir, f".metrics_{self._flush_seq - 1:06d}.inprogress"
+        )
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
 

@@ -329,3 +329,144 @@ def test_commit_metadata_is_per_touched_bucket(spark, tmp_path):
     assert left == {os.path.basename(r) for r in snap2["manifests"].values()}
     assert len(left) <= n_manifests_v1 + 1
     assert tbl.read().count() == 80
+
+
+def test_merge_splits_output_files_at_target_rows(spark, tmp_path):
+    """A batch touching a bucket's whole key range must not emit one
+    unbounded replacement file: output is chunked at target_file_rows,
+    each chunk key-sorted with its own tight manifest [kmin, kmax]."""
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        seq_col="ts",
+        num_buckets=1,
+    )
+    rows = [
+        (f"conv_{i:04d}", 0, f"t{i}", "2024-01-01 00:00:00", "I", i)
+        for i in range(250)
+    ]
+    m = tbl.merge(_events(spark, rows), target_file_rows=100)
+    assert m["rows_written"] == 250
+    files = tbl.snapshot["files"]["0"]
+    live = [fi for fi in files if not fi["deleted"]]
+    assert len(live) == 3, [fi["path"] for fi in live]
+    assert [fi["rows"] for fi in live] == [100, 100, 50]
+    # chunks are key-sorted and non-overlapping → range pruning works
+    ranges = sorted((fi["kmin"], fi["kmax"]) for fi in live)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert tbl.read().count() == 250
+    # a later single-key update must touch exactly one chunk (the other
+    # two carried over by range pruning)
+    m2 = tbl.merge(
+        _events(spark, [("conv_0000", 0, "v2", "2024-01-02 00:00:00", "U", 9999)]),
+        target_file_rows=100,
+    )
+    assert m2["target_rows_read"] == 100, "only the covering chunk is rewritten"
+    assert tbl.read().filter(F.col("conv_id") == "conv_0000").first()["text"] == "v2"
+
+
+def test_compact_honors_target_and_skips_unfragmented(spark, tmp_path):
+    """compact(target_files_per_bucket=N) rewrites ONLY buckets with
+    more than N files per side and carries the rest by pointer; a fully
+    compacted table is a metadata no-op."""
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        seq_col="ts",
+        num_buckets=4,
+    )
+    # seed all buckets, then fragment them with chunked writes
+    rows = [
+        (f"conv_{i:04d}", 0, f"t{i}", "2024-01-01 00:00:00", "I", i)
+        for i in range(200)
+    ]
+    tbl.merge(_events(spark, rows), target_file_rows=20)
+    snap1 = tbl._snapshot()
+    frag_counts = {b: len(fs) for b, fs in tbl._files(snap1).items()}
+    assert all(c > 2 for c in frag_counts.values()), frag_counts
+
+    out = tbl.compact(target_files_per_bucket=2)
+    assert out["buckets_compacted"] == 4
+    snap2 = tbl._snapshot()
+    assert all(len(fs) <= 2 for fs in tbl._files(snap2).values())
+    assert tbl.read().count() == 200
+
+    # second compaction: nothing fragmented → no new snapshot version
+    out2 = tbl.compact(target_files_per_bucket=2)
+    assert out2["buckets_compacted"] == 0
+    assert tbl._snapshot()["version"] == snap2["version"]
+
+    # partial fragmentation: touch ~one bucket with chunked output, then
+    # compact — untouched buckets must carry their manifest pointers
+    tbl.merge(
+        _events(
+            spark,
+            [("conv_0000", t, "x", "2024-01-03 00:00:00", "U", 10_000 + t) for t in range(1)],
+        ),
+    )
+    snap3 = tbl._snapshot()
+    touched = {
+        b for b in snap3["manifests"]
+        if snap3["manifests"][b] != snap2["manifests"].get(b)
+    }
+    tbl.compact(target_files_per_bucket=1)
+    snap4 = tbl._snapshot()
+    untouched = set(snap3["manifests"]) - touched
+    carried = {b for b in untouched if snap4["manifests"][b] == snap3["manifests"][b]}
+    assert carried == untouched, "unfragmented buckets must not be rewritten"
+    assert tbl.read().count() == 200
+
+
+def test_adaptive_precombine_engages_on_persistent_hot_key(spark, tmp_path, monkeypatch):
+    """Extreme skew: one conv_id dominating the batch auto-enables the
+    map-side LWW pre-combine on the NEXT batch (feedback from the
+    lineage skew stat), with identical convergence either way."""
+    monkeypatch.delenv("BEAR_MERGE_PRECOMBINE", raising=False)
+    monkeypatch.setenv("BEAR_PRECOMBINE_MIN_ROWS", "1000")  # test-sized
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        seq_col="ts",
+        num_buckets=4,
+    )
+    hot = [
+        ("conv_hot", 0, f"v{i}", f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", "U", i)
+        for i in range(1500)
+    ] + [
+        (f"conv_{i:03d}", 0, "cold", "2024-01-01 00:00:00", "I", 10_000 + i)
+        for i in range(100)
+    ]
+    m1 = tbl.merge(_events(spark, hot))
+    assert m1["max_key_rows"] == 1500
+    assert m1["max_key_share"] > 0.9
+    assert m1["precombine"] is False, "first batch has no lineage to react to"
+
+    m2 = tbl.merge(
+        _events(
+            spark,
+            [
+                ("conv_hot", 0, f"w{i}", f"2024-01-02 00:{i // 60:02d}:{i % 60:02d}", "U", 50_000 + i)
+                for i in range(1200)
+            ],
+        )
+    )
+    assert m2["precombine"] is True, "persistent hot key must auto-enable pre-combine"
+    # convergence: LWW winner is the max-(ts, lsn) event of batch 2
+    final = tbl.read().filter(F.col("conv_id") == "conv_hot").toPandas()
+    assert len(final) == 1 and final.iloc[0]["text"] == "w1199"
+    assert tbl.read().count() == 101
+
+    # forcing it off wins over the adaptive signal
+    m3 = tbl.merge(
+        _events(spark, [("conv_hot", 0, "z", "2024-01-03 00:00:00", "U", 99_999)]),
+        precombine=False,
+    )
+    assert m3["precombine"] is False
+    assert tbl.read().filter(F.col("conv_id") == "conv_hot").first()["text"] == "z"
