@@ -92,22 +92,94 @@ class DeterministicEmbedder:
         ]
 
 
-class HttpEmbedder:
-    """Remote OpenAI-compatible embedding endpoint (the reference's
-    OpenAI/TEI slot). Not constructible in this sandbox (no HTTP
-    client / network); swap in a real transport by implementing
-    ``_post(path, payload) -> dict`` and this class is complete."""
+#: transport(texts) -> one vector per text, in order. The injection
+#: point mirrors ``sources.live``'s injected page fetcher: HTTP client,
+#: mock, or replay file all look the same to the embedder.
+EmbedTransport = Any  # Callable[[list[str]], list[list[float]]]
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "HttpEmbedder needs a network transport unavailable in this "
-            "environment; use provider='deterministic', or subclass and "
-            "implement _post() against your embedding server"
-        )
+
+class HttpEmbedder:
+    """Remote embedding endpoint in the reference's OpenAI/TEI slot
+    (reference: bear/embedding.py:121-193 — model + prefixes + batched
+    ``embeddings.create`` calls). The wire client is an injected
+    ``transport`` callable, so the provider path is fully exercisable
+    without a network: in production wrap your HTTP POST to
+    ``/v1/embeddings`` (or an OpenAI SDK call) in the callable; in this
+    sandbox construction without a transport raises with instructions.
+
+    Prefix semantics match the reference exactly (bear/embedding.py:
+    184-190): doc/query prefixes are applied BEFORE the provider call,
+    raw passes through. Batching matches ``embed_resources``'s
+    batch-of-256 slicing (bear/embedding.py:218-232), moved inside the
+    embedder so every caller gets it.
+    """
+
+    def __init__(
+        self,
+        model: str = "",
+        dim: int = 0,
+        doc_prefix: str = "",
+        query_prefix: str = "",
+        batch_size: int = 256,
+        transport: EmbedTransport | None = None,
+        **_ignored: Any,
+    ):
+        if transport is None:
+            raise NotImplementedError(
+                "HttpEmbedder needs a transport callable "
+                "(texts -> vectors); this environment has no network — "
+                "pass transport=<your HTTP client wrapper> or use "
+                "provider='deterministic'"
+            )
+        self.model = model
+        self.dim = int(dim)
+        self.doc_prefix = doc_prefix
+        self.query_prefix = query_prefix
+        self.batch_size = max(1, int(batch_size))
+        self.transport = transport
 
     @classmethod
     def from_config(cls, cfg: dict[str, Any]) -> "HttpEmbedder":
         return cls(**cfg)
+
+    @property
+    def info(self) -> dict[str, Any]:
+        return {
+            "provider": "http",
+            "model": self.model,
+            "dimensions": self.dim,
+            "max_tokens": 0,
+            "doc_prefix": self.doc_prefix,
+            "query_prefix": self.query_prefix,
+        }
+
+    def embed(self, text: str | list[str], text_type: str = TEXT_RAW) -> list[list[float]]:
+        if text_type == TEXT_DOC and self.doc_prefix:
+            texts = append_prefix(text, self.doc_prefix)
+        elif text_type == TEXT_QUERY and self.query_prefix:
+            texts = append_prefix(text, self.query_prefix)
+        else:
+            texts = [text] if isinstance(text, str) else list(text)
+        out: list[list[float]] = []
+        for i in range(0, len(texts), self.batch_size):
+            vecs = self.transport(texts[i : i + self.batch_size])
+            out.extend([list(map(float, v)) for v in vecs])
+        if len(out) != len(texts):
+            raise ValueError(
+                f"transport returned {len(out)} vectors for {len(texts)} texts"
+            )
+        return out
+
+
+def embed_query(query: str, embedder: Embedder) -> list[float]:
+    """Query-embed with degrade-to-empty on provider failure (reference:
+    bear/embedding.py:207-213 — search must not 500 because the
+    embedding sidecar hiccuped; an empty vector surfaces as an empty
+    result set the caller can distinguish)."""
+    try:
+        return embedder.embed(query, TEXT_QUERY)[0]
+    except Exception:
+        return []
 
 
 _PROVIDERS: dict[str, Any] = {

@@ -84,3 +84,88 @@ def test_search_author_ranks_groups(spark, corpus, qvec):
     # ranked descending, deterministic ties
     assert out["total_score"].is_monotonic_decreasing
     assert (out["total_score"] > 0).all()
+
+
+def test_model_registry_multi_table_union_and_search(spark, tmp_path):
+    """N declared schemas -> N lake tables + one search surface
+    (reference parity: ALL_RESOURCES registration -> one collection per
+    model -> per-type search fan-out, bear/model.py:231-239,
+    bear/db.py:35-47, bear/search.py:113-122)."""
+    from pyspark.sql import types as T
+
+    from bear_spark.registry import ModelRegistry, TableSpec
+
+    def vec(seedbase, n=4):
+        import hashlib
+
+        return [
+            int(hashlib.md5(f"{seedbase}/{j}".encode()).hexdigest()[:4], 16) / 65535.0
+            for j in range(n)
+        ]
+
+    work = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    note = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("body", T.StringType(), True),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    reg = ModelRegistry(
+        [
+            TableSpec("work", work, key_cols=("doc_id",), num_buckets=2),
+            TableSpec("note", note, key_cols=("doc_id",), num_buckets=2),
+        ]
+    )
+    tables = reg.create_all(spark, str(tmp_path / "reg"))
+    assert set(tables) == {"work", "note"}
+
+    def events(schema, rows):
+        df = spark.createDataFrame(rows, schema)
+        return (
+            df.withColumn("op", F.lit("I"))
+            .withColumn("lsn", F.col("doc_id"))
+            .withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        )
+
+    w_schema = "doc_id long, title string, embedding array<float>, ts string"
+    n_schema = "doc_id long, body string, embedding array<float>, ts string"
+    tables["work"].merge(
+        events(w_schema, [(i, f"work {i}", vec(i), None) for i in range(10)])
+    )
+    tables["note"].merge(
+        events(n_schema, [(100 + i, f"note {i}", vec(100 + i), None) for i in range(10)])
+    )
+
+    # unioned read: superset schema + _type discriminator
+    u = reg.union_read().toPandas()
+    assert len(u) == 20
+    assert {"title", "body", "_type"} <= set(u.columns)
+    assert set(u["_type"]) == {"work", "note"}
+    assert u[u["_type"] == "note"]["title"].isna().all()
+
+    # fan-out search: global top-k across both tables, per-type k first
+    q = vec(5)
+    hits = reg.search(q, top_k=6, id_col="doc_id").toPandas()
+    assert len(hits) == 6
+    assert set(hits["_type"]) == {"work", "note"}, "both types must be searchable"
+    assert hits["distance"].tolist() == sorted(hits["distance"].tolist(), reverse=True)
+    assert hits.iloc[0]["doc_id"] == 5  # exact match ranks first
+
+    # registry reload round-trips (the load_all path)
+    reg2 = ModelRegistry(
+        [
+            TableSpec("work", work, key_cols=("doc_id",)),
+            TableSpec("note", note, key_cols=("doc_id",)),
+        ]
+    )
+    reg2.load_all(spark, str(tmp_path / "reg"))
+    assert reg2.union_read().count() == 20

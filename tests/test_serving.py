@@ -133,6 +133,57 @@ def test_embedder_dispatch():
         get_embedder({"provider": "http", "model": "m"})
 
 
+def test_http_embedder_with_injected_transport():
+    """The remote-provider path end-to-end against a mock transport:
+    prefix application, batch slicing, order preservation, mismatch
+    error, and embed_query's degrade-to-empty (reference behavior:
+    bear/embedding.py:121-193, 207-213)."""
+    from bear_spark.embedders import embed_query
+
+    calls: list[list[str]] = []
+
+    def transport(texts):
+        calls.append(list(texts))
+        return [[float(len(t)), float(i)] for i, t in enumerate(texts)]
+
+    e = get_embedder(
+        {
+            "provider": "http",
+            "model": "m",
+            "dim": 2,
+            "doc_prefix": "passage:",
+            "query_prefix": "query:",
+            "batch_size": 3,
+            "transport": transport,
+        }
+    )
+    # prefix semantics: doc/query prefixed before the wire call, raw passthrough
+    e.embed(["a", "bb"], "doc")
+    assert calls[-1] == ["passage: a", "passage: bb"]
+    e.embed("zz", "query")
+    assert calls[-1] == ["query: zz"]
+    e.embed("zz", "raw")
+    assert calls[-1] == ["zz"]
+    # batching: 7 texts at batch_size 3 → three wire calls, order kept
+    calls.clear()
+    vecs = e.embed([f"t{i}" for i in range(7)], "raw")
+    assert [len(c) for c in calls] == [3, 3, 1]
+    assert len(vecs) == 7 and vecs[0] == [2.0, 0.0]
+    assert e.info["provider"] == "http" and e.info["model"] == "m"
+    # a transport returning the wrong cardinality is an error, not silence
+    bad = get_embedder({"provider": "http", "transport": lambda ts: []})
+    with pytest.raises(ValueError, match="vectors"):
+        bad.embed(["a"], "raw")
+
+    # embed_query degrades to [] when the provider fails (search must
+    # not 500 because the embedding sidecar hiccuped)
+    def boom(ts):
+        raise RuntimeError("sidecar down")
+
+    assert embed_query("q", get_embedder({"provider": "http", "transport": boom})) == []
+    assert embed_query("q", get_embedder({"provider": "deterministic", "dim": 3})) != []
+
+
 def test_mcp_tool_roundtrip(app):
     def search_experts(query):
         status, rows = call(app, "/search_author", f"query={query}&top_k=3")
