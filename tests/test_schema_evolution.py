@@ -199,3 +199,39 @@ def test_align_in_pandas_matches_jvm_align(spark):
     arrow = align_in_pandas(df, target).toPandas()
     assert jvm.columns.tolist() == arrow.columns.tolist() == ["x", "text", "extra"]
     assert jvm.iloc[0]["x"] == arrow.iloc[0]["x"] == 1
+
+
+def test_registry_union_schema_widens_conflicting_types():
+    """ModelRegistry's superset schema resolves same-named columns of
+    different (widenable) types through the lake's widening rules —
+    pure metadata, no session needed."""
+    from pyspark.sql import types as T
+
+    from bear_spark.registry import ModelRegistry, TableSpec
+
+    a = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), True),
+            T.StructField("only_a", T.StringType(), True),
+        ]
+    )
+    b = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+            T.StructField("only_b", T.DoubleType(), True),
+        ]
+    )
+    reg = ModelRegistry(
+        [TableSpec("a", a, key_cols=("k",)), TableSpec("b", b, key_cols=("k",))]
+    )
+    u = reg._union_schema()
+    assert u.fieldNames() == ["k", "v", "only_a", "only_b"]
+    assert u["v"].dataType == T.LongType(), "int vs long must widen to long"
+    assert all(f.nullable for f in u.fields)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        ModelRegistry([TableSpec("x", a, key_cols=("k",)), TableSpec("x", b, key_cols=("k",))])
