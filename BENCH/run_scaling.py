@@ -95,13 +95,46 @@ def run_level(cpus: int, n_events: int, n_batches: int) -> dict:
     return json.loads(line)["cdc"]
 
 
+def settled_probe(max_wait_sec: float = 300.0) -> tuple[dict, int]:
+    """Launch-gate probe with settle-retry. A probe taken in the parent
+    right after a 16g AlwaysPreTouch JVM exits measures the kernel's own
+    page-reclaim transient (first-touch ~0.01 GB/s for tens of seconds),
+    not hypervisor health — so before launching a multi-minute run,
+    retry until healthy (or the budget runs out) rather than burn a run
+    in a window already known dirty. Returns (last probe, retries)."""
+    pre = host_probe()
+    retries = 0
+    t0 = time.time()
+    while not probe_ok(pre) and time.time() - t0 < max_wait_sec:
+        retries += 1
+        time.sleep(15)
+        pre = host_probe()
+    return pre, retries
+
+
 def gated_run(cpus: int, n_events: int, n_batches: int) -> tuple[dict | None, dict]:
     """One probe-bracketed run. Returns (result-or-None, telemetry);
-    result is None when either bracket probe failed (interfered)."""
-    pre = host_probe()
+    result is None when either bracket probe failed (interfered) or the
+    launch gate was still dirty after the settle budget (run skipped).
+
+    The certifying brackets are the IN-SITU probes bench.py takes inside
+    the child process, tight around the timed merge loop — while the JVM
+    still holds its pre-faulted heap and before the tmpfs workdir is
+    freed. An external post-probe in this parent is useless evidence:
+    it always lands in the page-reclaim transient of the just-exited
+    16g JVM (round-3 attempts 2-5 each measured healthy in-window but
+    were discarded on exactly that artifact)."""
+    gate, gate_retries = settled_probe()
+    if not probe_ok(gate):
+        return None, {"cpus": cpus, "launch_gate": gate,
+                      "gate_settle_retries": gate_retries,
+                      "skipped": True, "clean": False,
+                      "events_per_sec": 0.0, "wall_sec": None}
     r = run_level(cpus, n_events, n_batches)
-    post = host_probe()
-    tele = {"cpus": cpus, "pre": pre, "post": post, "clean": probe_ok(pre) and probe_ok(post),
+    pre, post = r["probe_pre"], r["probe_post"]
+    tele = {"cpus": cpus, "launch_gate": gate, "gate_settle_retries": gate_retries,
+            "pre": pre, "post": post,
+            "clean": probe_ok(pre) and probe_ok(post),
             "events_per_sec": r["cdc_events_per_sec"], "wall_sec": r["cdc_wall_sec"]}
     return (r if tele["clean"] else None), tele
 
@@ -110,19 +143,57 @@ def main() -> None:
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", "32000000"))
     n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
     k_pairs = int(os.environ.get("BENCH_CLEAN_PAIRS", "2"))
-    max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "6"))
+    max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "12"))
+
+    # shared changelog cache: generation happens ONCE at local[32]
+    # (untimed, probe-independent) and every gated run replays the
+    # identical staged files — see bench.bench_cdc
+    cache = os.environ.get(
+        "BENCH_CDC_LOG_CACHE",
+        ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp") + "/bear_bench_logcache",
+    )
+    os.environ["BENCH_CDC_LOG_CACHE"] = cache  # inherited by run_level children
+    # the N→4N pairs are the evidence and run at full n_events; the
+    # 1..32-core curve is illustrative shape, so it may run smaller to
+    # bound wall-clock (a local[1] 32M-event run alone is ~45 min)
+    curve_events = int(os.environ.get("BENCH_CURVE_EVENTS", str(n_events)))
+
+    def prefill(events: int) -> None:
+        """Stage the (events, n_batches) changelog into the cache at
+        local[32] — untimed, outside any probe bracket."""
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS="32",
+            BENCH_CDC_EVENTS=str(events),
+            BENCH_CDC_BATCHES=str(n_batches),
+            BENCH_MODE="generate",
+            BENCH_JAVA_OPTS="",  # no AlwaysPreTouch: generation is untimed
+        )
+        t0 = time.time()
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, check=True, capture_output=True, text=True, timeout=3000,
+        )
+        print(f"staged {events:,}-event changelog in {cache} "
+              f"({time.time() - t0:.0f}s, untimed)", flush=True)
+
+    prefill(n_events)
+    if curve_events != n_events:
+        prefill(curve_events)
 
     telemetry: list[dict] = []
     pairs: list[dict] = []  # clean (N, 4N) pairs
-    integrity = None
+    integrity: dict[int, tuple] = {}  # event-count → counters
 
-    def check_integrity(r: dict) -> None:
-        nonlocal integrity
+    def check_integrity(r: dict, events: int = 0) -> None:
+        events = events or n_events
         key = (r["dedup_drops"], r["rows_written"], r["late_events"])
-        if integrity is None:
-            integrity = key
+        if events not in integrity:
+            integrity[events] = key
         else:
-            assert key == integrity, f"non-deterministic replay: {key} != {integrity}"
+            assert key == integrity[events], (
+                f"non-deterministic replay at {events}: {key} != {integrity[events]}"
+            )
 
     attempt = 0
     while len(pairs) < k_pairs and attempt < max_attempts:
@@ -130,14 +201,16 @@ def main() -> None:
         rN, tN_tele = gated_run(N, n_events, n_batches)
         telemetry.append(tN_tele)
         print(f"attempt {attempt}: local[{N}] {tN_tele['events_per_sec']:,.0f} ev/s "
-              f"clean={tN_tele['clean']} probes={tN_tele['pre']}|{tN_tele['post']}", flush=True)
+              f"clean={tN_tele['clean']} skipped={tN_tele.get('skipped', False)} "
+              f"probes={tN_tele.get('pre')}|{tN_tele.get('post')}", flush=True)
         if rN is None:
             continue
         check_integrity(rN)
         r4, t4_tele = gated_run(N4, n_events, n_batches)
         telemetry.append(t4_tele)
         print(f"attempt {attempt}: local[{N4}] {t4_tele['events_per_sec']:,.0f} ev/s "
-              f"clean={t4_tele['clean']} probes={t4_tele['pre']}|{t4_tele['post']}", flush=True)
+              f"clean={t4_tele['clean']} skipped={t4_tele.get('skipped', False)} "
+              f"probes={t4_tele.get('pre')}|{t4_tele.get('post')}", flush=True)
         if r4 is None:
             continue
         check_integrity(r4)
@@ -165,16 +238,16 @@ def main() -> None:
     curve = {}
     for cpus in CURVE:
         for _ in range(2):
-            r, tele = gated_run(cpus, n_events, n_batches)
+            r, tele = gated_run(cpus, curve_events, n_batches)
             telemetry.append(tele)
             print(f"curve local[{cpus}]: {tele['events_per_sec']:,.0f} ev/s "
                   f"clean={tele['clean']}", flush=True)
             if r is not None:
-                check_integrity(r)
+                check_integrity(r, curve_events)
                 curve[cpus] = {**r, "clean": True}
                 break
         else:
-            curve[cpus] = {**run_level(cpus, n_events, n_batches), "clean": False}
+            curve[cpus] = {**run_level(cpus, curve_events, n_batches), "clean": False}
 
     with open(os.path.join(REPO, "BENCH", "scaling_telemetry.json"), "w") as f:
         json.dump({"pairs": pairs, "best": best, "telemetry": telemetry}, f, indent=1)
@@ -203,7 +276,8 @@ replay, with **>=0.8 scaling efficiency from N to 4N executors**. No
 real cluster exists in this sandbox, so the two cluster sizes are
 evidenced as two parallelism levels on one machine — **N = local[{N}]
 vs 4N = local[{N4}]** — running the IDENTICAL job (same seeded
-{n_events:,}-event changelog, {n_batches} micro-batches, fresh JVM
+{n_events:,}-event changelog staged ONCE to tmpfs and replayed
+byte-identical by every level, {n_batches} micro-batches, fresh JVM
 each, cold table, untimed JIT-warmup merge, heap pre-faulted, one
 Arrow thread per task).
 
@@ -214,10 +288,19 @@ only when both bracket probes are healthy (first-touch >=
 {MIN_FIRST_GBS} GB/s, steady >= {MIN_STEADY_GBS} GB/s; degraded
 episodes measure ~0.08 / 0.01). The harness loops until {k_pairs}
 clean N→4N pairs land; all probe telemetry (including discarded
-attempts) is in `BENCH/scaling_telemetry.json`. Clean-window probe
-floor actually observed this run: first-touch {pmin_first} GB/s,
-steady {pmin_steady} GB/s. Replay integrity counters are asserted
-bit-identical across every run, clean or not.
+attempts) is in `BENCH/scaling_telemetry.json`. The certifying
+brackets are taken IN-SITU by bench.py inside the benchmark process,
+tight around the timed merge loop — while the JVM still holds its
+pre-faulted heap and before the tmpfs working set is freed — because
+an external probe taken after a 16g AlwaysPreTouch JVM exits always
+measures the kernel's page-reclaim transient (first-touch ~0.1 GB/s
+for tens of seconds), not hypervisor health. A separate launch-gate
+probe settle-retries (15 s steps, 5 min budget) before each run so
+runs are not launched into windows already known dirty. Clean-window
+probe floor actually observed this run: first-touch {pmin_first}
+GB/s, steady {pmin_steady} GB/s. Replay integrity counters are
+asserted bit-identical across every run at the same event count,
+clean or not.
 
 Generated by `python BENCH/run_scaling.py` on {datetime.now(timezone.utc).isoformat(timespec="seconds")}.
 
@@ -240,7 +323,7 @@ Replay integrity at every level and every run: dedup drops
 {best["N"]["dedup_drops"]:,}, rows MERGEd {best["N"]["rows_written"]:,},
 late events {best["N"]["late_events"]:,} — bit-identical.
 
-## Full curve (one clean sample per level where achievable)
+## Full curve (one clean sample per level where achievable; {curve_events:,} events per level — the curve shows shape, the pairs above are the evidence)
 
 | level | events/sec | wall (s) | speedup vs local[1] | clean window |
 |---|---|---|---|---|

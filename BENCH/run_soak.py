@@ -16,6 +16,13 @@ Reported per batch: wall seconds, rows in, dedup drops, late events,
 target rows read, rows written — the flatness of the per-batch wall
 line is the "no state blow-up" evidence. Appends its section to
 BENCH/BASELINE.md.
+
+Clean-window protocol (round-3): every batch is bracketed by the host
+sanity probe (bench.host_probe — first-touch + steady memcpy GB/s).
+A soak is stateful, so interfered batches cannot be discarded; instead
+each batch is ANNOTATED clean/dirty and the headline sustained rate is
+additionally reported over clean-window batches only, so hypervisor
+stalls are visible instead of silently folded into the number.
 """
 
 from __future__ import annotations
@@ -39,10 +46,15 @@ def main() -> None:
     num_buckets = int(os.environ.get("BENCH_NUM_BUCKETS", "64"))
     os.environ.setdefault("BEAR_SHM_SPILL", "1")
 
+    from bench import host_probe
+
     from bear_spark.events import change_events
     from bear_spark.lake import LakeTable
     from bear_spark.schema import KEY_COLS, TRANSCRIPT_SCHEMA
     from bear_spark.session import get_spark
+
+    MIN_FIRST = float(os.environ.get("BENCH_MIN_FIRST_GBS", "1.0"))
+    MIN_STEADY = float(os.environ.get("BENCH_MIN_STEADY_GBS", "5.0"))
 
     mem = os.environ.get("BENCH_DRIVER_MEM", "48g")
     spark = get_spark(
@@ -95,12 +107,20 @@ def main() -> None:
             .parquet(seg)
         )
         batch = spark.read.parquet(seg)
+        pre = host_probe()
         t0 = time.time()
         m = table.merge(batch)
         dt = time.time() - t0
+        post = host_probe()
         merge_wall += dt
         shutil.rmtree(seg)
         applied += 1
+        clean = (
+            pre["first_touch_gbs"] >= MIN_FIRST
+            and pre["steady_gbs"] >= MIN_STEADY
+            and post["first_touch_gbs"] >= MIN_FIRST
+            and post["steady_gbs"] >= MIN_STEADY
+        )
         per_batch.append(
             {
                 "batch": mb,
@@ -110,6 +130,9 @@ def main() -> None:
                 "late_events": m["late_events"],
                 "target_rows_read": m["target_rows_read"],
                 "rows_written": m["rows_written"],
+                "probe_pre": pre,
+                "probe_post": post,
+                "clean": clean,
             }
         )
         print(json.dumps(per_batch[-1]), flush=True)
@@ -129,11 +152,19 @@ def main() -> None:
     maint_wall += time.time() - t0
     final_rows = table.read().count()
 
+    clean_batches = [b for b in per_batch if b["clean"]]
+    clean_wall = sum(b["wall_sec"] for b in clean_batches)
     totals = {
         "events": sum(b["rows_in"] for b in per_batch),
         "batches": len(per_batch),
         "merge_wall_sec": round(merge_wall, 1),
         "events_per_sec": round(sum(b["rows_in"] for b in per_batch) / merge_wall, 1),
+        "clean_batches": len(clean_batches),
+        "clean_events_per_sec": (
+            round(sum(b["rows_in"] for b in clean_batches) / clean_wall, 1)
+            if clean_wall
+            else None
+        ),
         "maintenance_wall_sec": round(maint_wall, 1),
         "dedup_drops": sum(b["dedup_drops"] for b in per_batch),
         "late_events": sum(b["late_events"] for b in per_batch),
@@ -147,7 +178,10 @@ def main() -> None:
 
     rows = "\n".join(
         f"| {b['batch']} | {b['wall_sec']} | {b['rows_in']:,} | {b['dedup_drops']:,} "
-        f"| {b['target_rows_read']:,} | {b['rows_written']:,} |"
+        f"| {b['target_rows_read']:,} | {b['rows_written']:,} "
+        f"| {b['probe_pre']['first_touch_gbs']}/{b['probe_pre']['steady_gbs']} "
+        f"→ {b['probe_post']['first_touch_gbs']}/{b['probe_post']['steady_gbs']} "
+        f"| {'yes' if b['clean'] else 'NO'} |"
         for b in per_batch
     )
     md = f"""
@@ -159,14 +193,18 @@ Generated by `python BENCH/run_soak.py` on
 {totals["batches"]} micro-batches at local[{cpus}], auto-compaction every
 {compact_every} batches, tombstone expiry + vacuum at end-of-stream.
 Sustained MERGE-apply **{totals["events_per_sec"]:,.0f} events/s** over
-{totals["merge_wall_sec"]}s of apply time (maintenance passes add
-{totals["maintenance_wall_sec"]}s, untimed generation excluded);
-{totals["dedup_drops"]:,} LWW dedup drops, {totals["late_events"]:,}
-late-beyond-watermark events counted, {totals["tombstones_expired"]:,}
-tombstones expired, final table {totals["final_rows"]:,} rows.
+{totals["merge_wall_sec"]}s of apply time; over the
+{totals["clean_batches"]}/{totals["batches"]} probe-clean batches
+(first-touch/steady brackets healthy) the sustained rate is
+**{totals["clean_events_per_sec"] or "n/a"} events/s** (maintenance
+passes add {totals["maintenance_wall_sec"]}s, untimed generation
+excluded); {totals["dedup_drops"]:,} LWW dedup drops,
+{totals["late_events"]:,} late-beyond-watermark events counted,
+{totals["tombstones_expired"]:,} tombstones expired, final table
+{totals["final_rows"]:,} rows.
 
-| batch | wall (s) | rows in | dedup drops | target rows read | rows written |
-|---|---|---|---|---|---|
+| batch | wall (s) | rows in | dedup drops | target rows read | rows written | probes pre→post (first/steady GB/s) | clean |
+|---|---|---|---|---|---|---|---|
 {rows}
 
 Per-batch wall time tracks the copy-on-write rewrite of an ever-larger

@@ -93,23 +93,37 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
     # open/footer overhead stays negligible, while still >> cores
     num_buckets = int(os.environ.get("BENCH_NUM_BUCKETS", "64"))
     shutil.rmtree(workdir, ignore_errors=True)
-    log_dir = os.path.join(workdir, "changelog")
 
     # stage the changelog to parquet first so generation cost is excluded.
     # One directory per micro-batch: a WAL tail delivers each batch as its
     # own file set, and the apply job must only scan the new files — not
     # re-filter the full log per batch.
-    import pyspark.sql.functions as F
+    #
+    # BENCH_CDC_LOG_CACHE (scaling-sweep protocol): stage once into a
+    # shared dir keyed by (events, batches) and reuse across JVMs. The
+    # generator is seeded-deterministic either way; the cache makes the
+    # *physical file layout* bit-identical across parallelism levels too
+    # (a per-run staging repartitions by the session's core count), and
+    # keeps minutes of untimed generation out of probe-bracketed windows.
+    cache = os.environ.get("BENCH_CDC_LOG_CACHE")
+    if cache:
+        log_dir = os.path.join(cache, f"events_{n_events}x{n_batches}")
+    else:
+        log_dir = os.path.join(workdir, "changelog")
+    if not cache or not os.path.exists(os.path.join(log_dir, "_SUCCESS")):
+        import pyspark.sql.functions as F
 
-    step = (n_events + n_batches - 1) // n_batches
-    ev = change_events(spark, n_events, n_source_partitions=32)
-    (
-        ev.withColumn("_mb", (F.col("lsn") / F.lit(step)).cast("int"))
-        .repartition(max(8, spark.sparkContext.defaultParallelism))
-        .write.partitionBy("_mb")
-        .mode("overwrite")
-        .parquet(log_dir)
-    )
+        step = (n_events + n_batches - 1) // n_batches
+        ev = change_events(spark, n_events, n_source_partitions=32)
+        (
+            ev.withColumn("_mb", (F.col("lsn") / F.lit(step)).cast("int"))
+            .repartition(32)
+            .write.partitionBy("_mb")
+            .mode("overwrite")
+            .parquet(log_dir)
+        )
+    if os.environ.get("BENCH_MODE") == "generate":
+        return {"staged": log_dir}
 
     table = LakeTable.create(
         spark,
@@ -134,6 +148,13 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
     warm.merge(change_events(spark, 50_000, n_source_partitions=32))
     shutil.rmtree(os.path.join(workdir, "warm"), ignore_errors=True)
 
+    # in-situ probe brackets: taken INSIDE this process, tight around the
+    # timed loop — before the workdir rmtree (freeing GBs of tmpfs leaves
+    # its own kernel reclaim transient) and while the JVM still holds its
+    # pre-faulted heap (a probe taken after a 16g AlwaysPreTouch JVM
+    # exits measures the page-reclaim transient, not host health). The
+    # scaling harness trusts THESE brackets to certify a clean window.
+    probe_pre = host_probe()
     t0 = time.time()
     total_metrics = {"dedup_drops": 0, "rows_written": 0, "late_events": 0}
     for mb in range(n_batches):
@@ -142,12 +163,15 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
         for k in total_metrics:
             total_metrics[k] += m.get(k, 0)
     wall = time.time() - t0
+    probe_post = host_probe()
     out = {
         "cdc_events": n_events,
         "cdc_batches": n_batches,
         "cdc_wall_sec": round(wall, 2),
         "cdc_events_per_sec": round(n_events / wall, 1),
         **total_metrics,
+        "probe_pre": probe_pre,
+        "probe_post": probe_post,
     }
     shutil.rmtree(workdir, ignore_errors=True)
     return out
@@ -182,9 +206,12 @@ def main() -> None:
         extra_conf={"spark.driver.extraJavaOptions": opts} if opts else {},
     )
 
-    probe_pre = host_probe()
+    if mode == "generate":
+        out = bench_cdc(spark, n_events, n_batches)
+        print(json.dumps({"mode": "generate", **out}))
+        return
+
     cdc = bench_cdc(spark, n_events, n_batches)
-    probe_post = host_probe()
 
     queries: dict[str, float] = {}
     if mode == "all":
@@ -206,10 +233,11 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc": cdc,
                 "cpus": cpus,
-                # host-health telemetry bracketing the CDC timed region
-                # (see host_probe) — clean window when both probes show
-                # steady >= ~5 GB/s and first-touch >= ~1 GB/s
-                "host_probe": {"pre": probe_pre, "post": probe_post},
+                # host-health telemetry bracketing the CDC timed region,
+                # taken in-situ inside bench_cdc (see host_probe) — clean
+                # window when both probes show steady >= ~5 GB/s and
+                # first-touch >= ~1 GB/s
+                "host_probe": {"pre": cdc["probe_pre"], "post": cdc["probe_post"]},
             }
         )
     )
