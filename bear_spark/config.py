@@ -54,6 +54,9 @@ def _coerce(value: str, typ: type) -> Any:
 class Settings:
     """All knobs, env-overridable as ``BEAR_<FIELD>`` (upper-cased)."""
 
+    # table root (bear_spark/init.py bootstrap; set by quick_setup)
+    root: str = ""
+
     # Spark session sizing (bear_spark/session.py)
     cores: str = ""  # "" -> $SPARK_GRAFT_CPUS or local[*]
     shuffle_partitions: int = 0  # 0 -> 2x cores heuristic

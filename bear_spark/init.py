@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+from typing import Callable
 
 from bear_spark.config import Settings, get_spark_from_settings
 
@@ -73,22 +74,90 @@ def bootstrap(
     return table, metrics
 
 
+# Defaults written by quick_setup, grouped like the reference's
+# use_default_*_settings blocks (bear/init.py:46-70): store knobs first
+# (lake bucketing/merge replaces the Milvus endpoint), then embedding.
+_QUICK_DEFAULTS = (
+    ("BEAR_NUM_BUCKETS", "64"),
+    ("BEAR_LATENESS_SEC", "3600"),
+    ("BEAR_MERGE_MODE", "arrow"),
+    ("BEAR_MERGE_PRECOMBINE", "auto"),
+    ("BEAR_TARGET_FILE_ROWS", "2000000"),
+    ("BEAR_EMBEDDING_DIM", "8"),
+    ("BEAR_EMBEDDING_DOC_PREFIX", ""),
+    ("BEAR_EMBEDDING_QUERY_PREFIX", ""),
+)
+
+
+def quick_setup(
+    env_file: str = ".env",
+    ask: Callable[[str, str], str] = None,
+    echo: Callable[[str], None] = print,
+) -> bool:
+    """Interactive checklist that writes a starter ``.env`` — parity with
+    the reference's prompt-driven ``quick_setup`` (bear/init.py:72-106):
+    confirm, never overwrite an existing env file, write sane defaults
+    for the store + embedding blocks, then prompt only for the
+    essentials. ``ask(prompt, default) -> str`` is injectable so CI and
+    tests drive it without a TTY (same pattern as the live-source
+    fetcher and the http-embedder transport). Returns True if the file
+    was written."""
+    if ask is None:  # pragma: no cover - real TTY path
+        def ask(prompt: str, default: str) -> str:
+            got = input(f"{prompt} [{default}]: ").strip()
+            return got or default
+
+    confirm = ask("Quick setup for demo purpose? (yes/no)", "yes").strip().lower()
+    if confirm not in ("y", "yes"):
+        echo("Skipping quick setup; edit the env file manually.")
+        return False
+    if os.path.exists(env_file):
+        # reference behavior: refuse to clobber (bear/init.py:85-89)
+        echo(f"Existing environment file {env_file}; not overwriting — "
+             "delete it manually to recreate.")
+        return False
+
+    root = ask("Table root directory", os.path.join(os.getcwd(), "bear_data"))
+    cores = ask("Spark cores (e.g. local[8]; empty = auto)", "")
+    provider = ask("Embedding provider (deterministic/http)", "deterministic")
+
+    lines = [f"{k}={v}\n" for k, v in _QUICK_DEFAULTS]
+    lines.append(f"BEAR_EMBEDDING_PROVIDER={provider}\n")
+    if cores:
+        lines.append(f"BEAR_CORES={cores}\n")
+    lines.append(f"BEAR_ROOT={root}\n")
+    with open(env_file, "w") as f:
+        f.writelines(lines)
+    echo(f"System is configured in {env_file}")
+    return True
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--root", required=True, help="table root directory")
+    p.add_argument("--root", default=None,
+                   help="table root directory (default: BEAR_ROOT from env)")
     p.add_argument("--wipe", action="store_true", help="drop and recreate")
     p.add_argument("--demo-events", type=int, default=0,
                    help="run a demo ingest of N synthetic change events")
     p.add_argument("--env-file", default=".env")
+    p.add_argument("--quick-setup", action="store_true",
+                   help="interactive checklist that writes a starter .env "
+                        "(reference: bear/init.py quick_setup)")
     args = p.parse_args(argv)
 
+    if args.quick_setup:
+        quick_setup(env_file=args.env_file)
+
     s = Settings.load(env_file=args.env_file)
+    root = args.root or s.root
+    if not root:
+        p.error("--root is required (or set BEAR_ROOT, e.g. via --quick-setup)")
     spark = get_spark_from_settings(s, app_name="bear_spark_init")
     table, metrics = bootstrap(
-        spark, args.root, settings=s, wipe=args.wipe, demo_events=args.demo_events
+        spark, root, settings=s, wipe=args.wipe, demo_events=args.demo_events
     )
     summary = {
-        "root": args.root,
+        "root": root,
         "version": table.snapshot["version"],
         "rows": table.read().count(),
         "batches": len(metrics),

@@ -31,6 +31,46 @@ def test_settings_defaults_and_env_precedence(tmp_path):
     assert cfg["provider"] == "deterministic" and cfg["query_prefix"] == "query: "
 
 
+def test_quick_setup_checklist(tmp_path):
+    """Prompt-driven .env writer (reference quick_setup parity): writes
+    defaults + essentials, refuses to clobber, declines cleanly."""
+    from bear_spark.init import quick_setup
+
+    envf = tmp_path / ".env"
+    answers = iter(["yes", str(tmp_path / "lake"), "local[4]", "http"])
+    echoed: list[str] = []
+    wrote = quick_setup(
+        env_file=str(envf),
+        ask=lambda prompt, default: next(answers),
+        echo=echoed.append,
+    )
+    assert wrote and envf.exists()
+    s = Settings.load(env_file=str(envf), env={})
+    assert s.root == str(tmp_path / "lake")
+    assert s.cores == "local[4]"
+    assert s.embedding_provider == "http"
+    assert s.num_buckets == 64 and s.merge_mode == "arrow"  # defaults block
+
+    # never overwrites an existing env file (bear/init.py:85-89)
+    before = envf.read_text()
+    wrote = quick_setup(
+        env_file=str(envf),
+        ask=lambda prompt, default: "yes",
+        echo=echoed.append,
+    )
+    assert not wrote and envf.read_text() == before
+    assert any("not overwriting" in m for m in echoed)
+
+    # declining is a no-op
+    other = tmp_path / "other.env"
+    wrote = quick_setup(
+        env_file=str(other),
+        ask=lambda prompt, default: "no",
+        echo=echoed.append,
+    )
+    assert not wrote and not other.exists()
+
+
 def test_bootstrap_demo_pipeline(spark, tmp_path):
     s = Settings.load(env=dict(BEAR_NUM_BUCKETS="4", BEAR_MAX_FILES_PER_TRIGGER="3"))
     table, metrics = bootstrap(
