@@ -52,25 +52,44 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def host_probe() -> dict:
+def host_probe(samples: int = 3, settle: float = 3.0) -> dict:
     """Memory-system health snapshot: first-touch (page-fault path) and
     steady-state memcpy GB/s. This VM suffers intermittent hypervisor
     stalls that degrade exactly these paths by 2-3 orders of magnitude;
     recording the probe beside every timed region lets a reader
     adjudicate whether a number measured the engine or the host
-    (healthy here: ~2-4 GB/s first-touch, ~8-12 GB/s steady)."""
+    (healthy here: ~2-4 GB/s first-touch, ~8-12 GB/s steady).
+
+    The probe answers "was the HOST capable in this window", so it
+    reports the BEST of a few settle-spaced draws: a single draw has
+    false-dirty transients that are artifacts of the measuring process
+    itself (fresh-allocation/THP warm-up depresses the first draw's
+    first-touch ~6x even on a healthy host; a just-finished merge loop
+    leaves JVM GC contending for a few seconds). A genuine hypervisor
+    stall episode is minutes long and 2-3 orders deep, so every draw
+    inside one stays far below the thresholds — max() cannot mask it.
+    Draws stop early once a draw is clearly healthy."""
     import numpy as np
 
-    a = np.ones(2**28, dtype=np.uint8)
-    b = np.empty_like(a)
-    t0 = time.time()
-    b[:] = a  # first touch of b's pages
-    first = 0.25 / (time.time() - t0)
-    t0 = time.time()
-    for _ in range(4):
-        np.copyto(b, a)
-    steady = 1.0 / (time.time() - t0)
-    return {"first_touch_gbs": round(first, 2), "steady_gbs": round(steady, 2)}
+    best = {"first_touch_gbs": 0.0, "steady_gbs": 0.0}
+    for i in range(max(1, samples)):
+        if i:
+            time.sleep(settle)
+        a = np.ones(2**28, dtype=np.uint8)
+        b = np.empty_like(a)
+        t0 = time.time()
+        b[:] = a  # first touch of b's pages
+        first = 0.25 / (time.time() - t0)
+        t0 = time.time()
+        for _ in range(4):
+            np.copyto(b, a)
+        steady = 1.0 / (time.time() - t0)
+        best["first_touch_gbs"] = max(best["first_touch_gbs"], round(first, 2))
+        best["steady_gbs"] = max(best["steady_gbs"], round(steady, 2))
+        del a, b
+        if best["first_touch_gbs"] >= 2.0 and best["steady_gbs"] >= 6.0:
+            break  # unambiguously healthy; stop burning time
+    return best
 
 
 def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = None) -> dict:
