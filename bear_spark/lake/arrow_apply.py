@@ -133,6 +133,18 @@ def make_apply_kernel(
         if pa.cpu_count() != 1:
             pa.set_cpu_count(1)
             pa.set_io_thread_count(1)
+            # retain freed arena pages across merge batches (workers are
+            # long-lived under spark.python.worker.reuse): jemalloc's
+            # default ~1s dirty-page decay hands pages back to the OS
+            # between batches, so every batch re-faults its working set
+            # — a steady page-fault tax per batch, and a cliff on hosts
+            # with slow fault paths. BEAR_JEMALLOC_RETAIN=0 opts out
+            # (memory-tight executors); no-op on non-jemalloc builds.
+            if os.environ.get("BEAR_JEMALLOC_RETAIN", "1") != "0":
+                try:
+                    pa.jemalloc_set_decay_ms(-1)
+                except (NotImplementedError, AttributeError):
+                    pass
 
         bucket = int(pdf["_bucket"].iloc[0])
         precombined = "_cnt" in pdf.columns

@@ -13,6 +13,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+# glibc malloc knobs that keep Python-worker heap pages resident across
+# micro-batches. The merge kernel's pandas/numpy churn allocates large
+# (>128 KB) buffers that glibc serves via mmap and returns to the OS on
+# free, so every batch re-faults its working set — a steady page-fault
+# tax per batch on any host where faults are expensive (overcommitted
+# VMs, THP-fragmented hosts), and the dominant cost during this
+# sandbox's hypervisor fault-path degradation episodes. MMAP_MAX_=0
+# routes large allocations to the sbrk heap and TRIM_THRESHOLD_=-1
+# (parsed unsigned → effectively infinite) never trims it, so a
+# long-lived worker (spark.python.worker.reuse, the default) faults its
+# arena once and reuses it for every subsequent batch. Same rationale
+# as the Arrow-side jemalloc retention in lake/arrow_apply.py.
+_MALLOC_RETAIN_ENV = {
+    "MALLOC_MMAP_MAX_": "0",
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+    "MALLOC_ARENA_MAX": "4",
+}
+
 
 def get_spark(
     app_name: str = "bear_spark",
@@ -33,6 +51,13 @@ def get_spark(
     if shuffle_partitions is None:
         n = os.cpu_count() or 8 if cores == "*" else int(cores)
         shuffle_partitions = max(8, 2 * n)
+
+    retain = os.environ.get("BEAR_MALLOC_RETAIN", "1") != "0"
+    if retain:
+        for k, v in _MALLOC_RETAIN_ENV.items():
+            # local mode: the JVM (and the pyspark.daemon it forks) inherit
+            # the driver env captured at launch, so set it before getOrCreate
+            os.environ.setdefault(k, v)
 
     builder = (
         SparkSession.builder.master(master)
@@ -70,6 +95,11 @@ def get_spark(
         local_dir = "/dev/shm/spark-local"
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
+    if retain:
+        # cluster mode: executors don't inherit the driver env, so ship
+        # the same knobs through executorEnv (no-op in local mode)
+        for k, v in _MALLOC_RETAIN_ENV.items():
+            builder = builder.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
