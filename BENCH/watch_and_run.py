@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Background clean-window watcher for the scaling sweep.
+
+The shared VM suffers multi-hour hypervisor episodes that degrade the
+memory system by ~3 orders of magnitude (see BENCH/BASELINE.md). This
+watcher probes host health on a fixed cadence, appends every sample to
+BENCH/host_health.jsonl (evidence of the degradation timeline), and as
+soon as TWO consecutive probes are healthy it launches
+`python BENCH/run_scaling.py` (which re-gates every timed region
+itself). Exits after the sweep completes or the deadline passes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from run_scaling import host_probe, probe_ok  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "BENCH", "host_health.jsonl")
+
+# foreground/background handshake: a developer running pytest/bench in
+# the foreground touches BUSY to hold the watcher off (its probes would
+# read the developer's load as a dirty host, and a launched sweep would
+# contend with the tests); the watcher holds RUNNING while a sweep is
+# live so the developer can wait before starting heavy work.
+BUSY = os.path.join(REPO, "BENCH", ".busy")
+RUNNING = os.path.join(REPO, "BENCH", ".sweep_running")
+
+
+def main() -> None:
+    deadline = time.time() + float(os.environ.get("WATCH_BUDGET_SEC", "18000"))
+    cadence = float(os.environ.get("WATCH_CADENCE_SEC", "120"))
+    streak = 0
+    while time.time() < deadline:
+        if os.path.exists(BUSY):
+            time.sleep(30)
+            continue
+        p = host_probe()
+        ok = probe_ok(p)
+        with open(LOG, "a") as f:
+            f.write(json.dumps({
+                "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+                **p, "ok": ok,
+            }) + "\n")
+        streak = streak + 1 if ok else 0
+        if streak >= 2:
+            if os.path.exists(BUSY):
+                streak = 0
+                continue
+            print("clean window detected — launching scaling sweep", flush=True)
+            open(RUNNING, "w").close()
+            try:
+                rc = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "BENCH", "run_scaling.py")],
+                ).returncode
+            finally:
+                try:
+                    os.remove(RUNNING)
+                except OSError:
+                    pass
+            print(f"run_scaling.py exited rc={rc}", flush=True)
+            if rc == 0:
+                return
+            streak = 0  # window closed mid-sweep; keep watching
+        time.sleep(30 if ok else cadence)
+    print("watch budget exhausted without a completed sweep", flush=True)
+    sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

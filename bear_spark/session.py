@@ -47,7 +47,12 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    # $SPARK_GRAFT_MASTER overrides the default thread-local master with
+    # any Spark master URL — e.g. local-cluster[8,1,3584] for a
+    # multi-executor-JVM run (separate executor processes, real
+    # block-transfer shuffle), or spark://host:7077 on a real cluster.
+    # `cores` then only sizes shuffle partitions.
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     if shuffle_partitions is None:
         n = os.cpu_count() or 8 if cores == "*" else int(cores)
         shuffle_partitions = max(8, 2 * n)

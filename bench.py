@@ -173,7 +173,21 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
     # pre-faulted heap (a probe taken after a 16g AlwaysPreTouch JVM
     # exits measures the page-reclaim transient, not host health). The
     # scaling harness trusts THESE brackets to certify a clean window.
+    #
+    # Bounded settle: if the pre-probe reads dirty, wait briefly (15 s
+    # steps, $BENCH_CLEAN_WAIT_SEC budget, default 240) before starting
+    # the timed region — short hypervisor stalls pass, and a number
+    # measured through one measures the host, not the engine. The probe
+    # pair still brackets the region either way; a reader adjudicates.
     probe_pre = host_probe()
+    settle_budget = float(os.environ.get("BENCH_CLEAN_WAIT_SEC", "240"))
+    t_settle = time.time()
+    while (
+        (probe_pre["first_touch_gbs"] < 1.0 or probe_pre["steady_gbs"] < 5.0)
+        and time.time() - t_settle < settle_budget
+    ):
+        time.sleep(15)
+        probe_pre = host_probe()
     t0 = time.time()
     total_metrics = {"dedup_drops": 0, "rows_written": 0, "late_events": 0}
     for mb in range(n_batches):
