@@ -50,19 +50,16 @@ MIN_STEADY_GBS = float(os.environ.get("BENCH_MIN_STEADY_GBS", "5.0"))
 
 
 def host_probe() -> dict:
-    """First-touch and steady-state memcpy GB/s (single core)."""
-    import numpy as np
+    """Best-of-3 settle-spaced draws (bench.host_probe): a single draw
+    has false-dirty transients — fresh-allocation/THP warm-up depresses
+    the first draw's first-touch ~6x even on a healthy host — which
+    made single-draw launch gates (and the background watcher) miss
+    genuine clean windows. A real hypervisor stall is minutes long and
+    2-3 orders deep, so best-of-k cannot mask one."""
+    sys.path.insert(0, REPO)
+    from bench import host_probe as _bench_probe
 
-    a = np.ones(2**28, dtype=np.uint8)
-    b = np.empty_like(a)
-    t0 = time.time()
-    b[:] = a
-    first = 0.25 / (time.time() - t0)
-    t0 = time.time()
-    for _ in range(4):
-        np.copyto(b, a)
-    steady = 1.0 / (time.time() - t0)
-    return {"first_touch_gbs": round(first, 2), "steady_gbs": round(steady, 2)}
+    return _bench_probe()
 
 
 def probe_ok(p: dict) -> bool:
