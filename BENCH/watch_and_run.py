@@ -67,6 +67,15 @@ def main() -> None:
                     pass
             print(f"run_scaling.py exited rc={rc}", flush=True)
             if rc == 0:
+                # same window, bonus artifact: the N vs 4N separate-
+                # executor-JVM pair (spark-submit --py-files on
+                # local-cluster); itself probe-gated, so a closed
+                # window just records telemetry and exits non-zero
+                rc2 = subprocess.run(
+                    [sys.executable,
+                     os.path.join(REPO, "BENCH", "run_cluster_scaling.py")],
+                ).returncode
+                print(f"run_cluster_scaling.py exited rc={rc2}", flush=True)
                 return
             streak = 0  # window closed mid-sweep; keep watching
         time.sleep(30 if ok else cadence)
