@@ -39,6 +39,12 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
+    t_start = time.time()
+    # wall budget: a stateful soak on this host can balloon 10x inside a
+    # hypervisor stall; stop cleanly after the current batch once the
+    # budget is spent and report the completed prefix (slices compose,
+    # so a prefix is itself a valid replay).
+    deadline_sec = float(os.environ.get("SOAK_DEADLINE_SEC", "0")) or None
     n_events = int(os.environ.get("SOAK_EVENTS", str(10**9)))
     n_batches = int(os.environ.get("SOAK_BATCHES", "10"))
     compact_every = int(os.environ.get("SOAK_COMPACT_EVERY", "4"))
@@ -92,7 +98,13 @@ def main() -> None:
     per_batch: list[dict] = []
     applied = 0
     merge_wall = maint_wall = 0.0
+    stopped_early = False
     for mb in range(n_batches):
+        if deadline_sec is not None and time.time() - t_start > deadline_sec:
+            stopped_early = True
+            print(f"# SOAK_DEADLINE_SEC={deadline_sec:.0f} spent after "
+                  f"{applied} batches — stopping early", flush=True)
+            break
         lo = mb * step
         n = min(step, n_events - lo)
         if n <= 0:
@@ -172,6 +184,8 @@ def main() -> None:
         "final_rows": final_rows,
         "cpus": cpus,
         "num_buckets": num_buckets,
+        "planned_events": n_events,
+        "stopped_early": stopped_early,
     }
     print(json.dumps(totals), flush=True)
     shutil.rmtree(workdir, ignore_errors=True)
@@ -187,7 +201,11 @@ def main() -> None:
     md = f"""
 
 ## {totals["events"]:,}-event soak (toward the 10^10 target)
-
+{f'''
+(Planned {totals["planned_events"]:,} events; stopped early at the wall
+budget after {totals["batches"]} batches — event-log slices compose, so
+the completed prefix is itself a valid replay.)
+''' if totals["stopped_early"] else ""}
 Generated by `python BENCH/run_soak.py` on
 {datetime.now(timezone.utc).isoformat(timespec="seconds")}: {totals["events"]:,} events in
 {totals["batches"]} micro-batches at local[{cpus}], auto-compaction every

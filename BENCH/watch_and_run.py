@@ -76,6 +76,28 @@ def main() -> None:
                      os.path.join(REPO, "BENCH", "run_cluster_scaling.py")],
                 ).returncode
                 print(f"run_cluster_scaling.py exited rc={rc2}", flush=True)
+                # ride the rest of the window: the long soak, per-batch
+                # probe-annotated and wall-budgeted so a stall that
+                # reopens mid-run stops it cleanly after the current
+                # batch instead of holding the host for hours
+                if os.environ.get("WATCH_CHAIN_SOAK", "1") == "1":
+                    env = dict(os.environ)
+                    env.setdefault("SOAK_EVENTS", str(10**9))
+                    env.setdefault("SOAK_BATCHES", "10")
+                    env.setdefault("SOAK_DEADLINE_SEC", "7200")
+                    open(RUNNING, "w").close()
+                    try:
+                        rc3 = subprocess.run(
+                            [sys.executable,
+                             os.path.join(REPO, "BENCH", "run_soak.py")],
+                            env=env,
+                        ).returncode
+                    finally:
+                        try:
+                            os.remove(RUNNING)
+                        except OSError:
+                            pass
+                    print(f"run_soak.py exited rc={rc3}", flush=True)
                 return
             streak = 0  # window closed mid-sweep; keep watching
         time.sleep(30 if ok else cadence)
