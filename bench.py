@@ -92,6 +92,70 @@ def host_probe(samples: int = 3, settle: float = 3.0) -> dict:
     return best
 
 
+def executor_totals(spark) -> dict | None:
+    """Cumulative executor CPU / run time over all completed stages, via
+    the local REST status API. CPU-seconds are hypervisor-stall-resistant
+    evidence: a stall inflates wall-clock but not CPU, so CPU-per-event
+    staying flat from N to 4N cores shows the engine adds no
+    serialization/contention even when wall numbers are host noise.
+    Returns None if the UI/REST surface is unavailable."""
+    import urllib.request
+
+    try:
+        sc = spark.sparkContext
+        url = (
+            f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+            "/stages?status=complete"
+        )
+        with urllib.request.urlopen(url, timeout=60) as r:
+            stages = json.loads(r.read())
+        return {
+            "cpu_sec": sum(s.get("executorCpuTime", 0) for s in stages) / 1e9,
+            "run_sec": sum(s.get("executorRunTime", 0) for s in stages) / 1e3,
+        }
+    except Exception:
+        return None
+
+
+def tree_cpu_sec() -> float | None:
+    """Total CPU (user+sys, live + reaped-child) of this process and every
+    descendant, via one /proc scan. Bracketing the timed merge loop with
+    this captures the CPU the REST metric can't see — the forked Python
+    workers running the Arrow merge kernel are children of the JVM, and
+    `executorCpuTime` counts JVM threads only. Including cutime/cstime
+    makes the bracket delta exact even when a worker is reaped between
+    brackets (its total rolls into the parent's cutime at reap)."""
+    try:
+        tick = os.sysconf("SC_CLK_TCK")
+        ppid: dict[int, int] = {}
+        cpu: dict[int, float] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    s = f.read()
+            except OSError:
+                continue
+            rest = s[s.rindex(")") + 2:].split()
+            pid = int(p)
+            ppid[pid] = int(rest[1])
+            cpu[pid] = (
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            ) / tick
+        fam = {os.getpid()}
+        changed = True
+        while changed:
+            changed = False
+            for pid, pp in ppid.items():
+                if pp in fam and pid not in fam:
+                    fam.add(pid)
+                    changed = True
+        return sum(cpu[p] for p in fam if p in cpu)
+    except Exception:
+        return None
+
+
 def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = None) -> dict:
     """Sustained MERGE-apply throughput: generate a changelog, replay it
     through LakeTable.merge in micro-batches, report events/sec.
@@ -188,6 +252,8 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
     ):
         time.sleep(15)
         probe_pre = host_probe()
+    exec0 = executor_totals(spark)
+    tree0 = tree_cpu_sec()
     t0 = time.time()
     total_metrics = {"dedup_drops": 0, "rows_written": 0, "late_events": 0}
     for mb in range(n_batches):
@@ -196,6 +262,8 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
         for k in total_metrics:
             total_metrics[k] += m.get(k, 0)
     wall = time.time() - t0
+    tree1 = tree_cpu_sec()
+    exec1 = executor_totals(spark)
     probe_post = host_probe()
     out = {
         "cdc_events": n_events,
@@ -203,6 +271,20 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
         "cdc_wall_sec": round(wall, 2),
         "cdc_events_per_sec": round(n_events / wall, 1),
         **total_metrics,
+        "executor_cpu_sec": (
+            round(exec1["cpu_sec"] - exec0["cpu_sec"], 1)
+            if exec0 and exec1
+            else None
+        ),
+        "executor_run_sec": (
+            round(exec1["run_sec"] - exec0["run_sec"], 1)
+            if exec0 and exec1
+            else None
+        ),
+        "tree_cpu_sec": (
+            round(tree1 - tree0, 1) if tree0 is not None and tree1 is not None
+            else None
+        ),
         "probe_pre": probe_pre,
         "probe_post": probe_post,
     }
@@ -231,12 +313,21 @@ def main() -> None:
         "BENCH_JAVA_OPTS",
         f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages",
     )
+    extra = {
+        # the REST status API feeds the executor-CPU evidence channel
+        # (executor_totals); the UI server's overhead is driver-side and
+        # outside the timed loop
+        "spark.ui.enabled": "true",
+        "spark.ui.port": "0",  # any free port; read back via uiWebUrl
+    }
+    if opts:
+        extra["spark.driver.extraJavaOptions"] = opts
     spark = get_spark(
         app_name="bear_bench",
         cores=cpus,
         shuffle_partitions=2 * cpus,
         driver_memory=mem,
-        extra_conf={"spark.driver.extraJavaOptions": opts} if opts else {},
+        extra_conf=extra,
     )
 
     if mode == "generate":
