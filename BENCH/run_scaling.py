@@ -374,8 +374,45 @@ cluster only `--master` changes.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
+        f.write(health_timeline_md())
+        # re-append the stall-resistant CPU-invariance section (this
+        # rewrite must not destroy that evidence channel)
+        pair_path = os.path.join(REPO, "BENCH", "cpu_pair.json")
+        if os.path.exists(pair_path):
+            from run_cpu_pair import cpu_pair_md
+            with open(pair_path) as pf:
+                f.write(cpu_pair_md(json.load(pf)))
     print(f"efficiency ({N}->{N4}): {eff:.3f} over {len(pairs)} clean pairs "
           f"-> BENCH/BASELINE.md", flush=True)
+
+
+def health_timeline_md() -> str:
+    """Summarize BENCH/host_health.jsonl — the background watcher's
+    probe timeline — so the report shows how rare clean windows were
+    and why the sweep is probe-gated at all."""
+    path = os.path.join(REPO, "BENCH", "host_health.jsonl")
+    try:
+        with open(path) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    except OSError:
+        return ""
+    if not rows:
+        return ""
+    ok = sum(1 for r in rows if r["ok"])
+    return f"""
+
+## Host-degradation timeline (watcher probes)
+
+`BENCH/host_health.jsonl` records the background watcher's cadence
+probes: **{ok}/{len(rows)} healthy** between {rows[0]["ts"]} and
+{rows[-1]["ts"]} (healthy = first-touch >= {MIN_FIRST_GBS} GB/s and
+steady memcpy >= {MIN_STEADY_GBS} GB/s; degraded episodes measure
+~0.01 GB/s — a 2-3 order-of-magnitude hypervisor stall, the same
+failure mode adjudicated in round 2). This is why every timed region
+above is probe-bracketed and why the CPU-invariance channel below
+exists: it stays valid inside windows the wall-clock protocol must
+discard.
+"""
 
 
 if __name__ == "__main__":
