@@ -231,6 +231,16 @@ def make_apply_kernel(
             ]
         )
 
+        # output shape: payload + _bucket/_lsn/_deleted (data-file schema)
+        out_schema = pa.schema(
+            list(target)
+            + [
+                pa.field("_bucket", pa.int32()),
+                pa.field("_lsn", pa.int64()),
+                pa.field("_deleted", pa.bool_()),
+            ]
+        )
+
         def align_to_events(tbl: pa.Table, op_arr, elsn_arr) -> pa.Table:
             cols = []
             n = tbl.num_rows
@@ -246,6 +256,24 @@ def make_apply_kernel(
                 else:
                     cols.append(pa.nulls(n, f.type))
             return pa.table(cols, schema=evt_schema)
+
+        def align_to_out(tbl: pa.Table) -> pa.Table:
+            """Existing-file rows -> out_schema (schema-evolution fill +
+            cast), bypassing the event shape entirely."""
+            cols = []
+            n = tbl.num_rows
+            for f in out_schema:
+                if f.name == "_bucket":
+                    cols.append(pa.array([bucket] * n, pa.int32()))
+                elif f.name == "_deleted":
+                    cols.append(
+                        pc.fill_null(tbl.column("_deleted").cast(pa.bool_()), False)
+                    )
+                elif f.name in tbl.column_names:
+                    cols.append(tbl.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.table(cols, schema=out_schema)
 
         # --- batch side (already target-aligned by the JVM projection) ---
         batch = pa.Table.from_pandas(pdf, preserve_index=False)
@@ -287,12 +315,33 @@ def make_apply_kernel(
             else:
                 kept_paths.append(rel)
 
+        # contended-row split: the table invariant is one row per key
+        # across a bucket's files (merge emits LWW winners; the range
+        # pull rule keeps a key in exactly one file), so an existing row
+        # whose key is NOT in the batch is already its own winner — it
+        # skips the (ts, lsn) sort + group-last entirely and goes
+        # straight to the key-sorted rewrite. Sort/aggregate traffic is
+        # O(batch + contended), not O(touched files) — the difference
+        # between a point update and a full-file re-merge at 10^10 rows.
+        kset = pc.unique(batch.column(key_cols[0]))
+        ktype = target.field(key_cols[0]).type
         parts = [batch]
+        passthrough = []
         for rel in to_read:
             t = pq.read_table(os.path.join(table_root, rel))
-            deleted = pc.fill_null(t.column("_deleted").cast(pa.bool_()), False)
-            op = pc.if_else(deleted, pa.scalar("D"), pa.scalar("U"))
-            parts.append(align_to_events(t, op.cast(pa.string()), t.column("_lsn")))
+            kmask = pc.is_in(t.column(key_cols[0]).cast(ktype), value_set=kset)
+            # null keys always contend (LWW collapses them; rare by design)
+            kmask = pc.fill_null(kmask, True)
+            cont = t.filter(kmask)
+            untouched = t.filter(pc.invert(kmask))
+            if untouched.num_rows:
+                passthrough.append(align_to_out(untouched))
+            if cont.num_rows:
+                deleted = pc.fill_null(cont.column("_deleted").cast(pa.bool_()), False)
+                op = pc.if_else(deleted, pa.scalar("D"), pa.scalar("U"))
+                parts.append(
+                    align_to_events(cont, op.cast(pa.string()), cont.column("_lsn"))
+                )
         events = pa.concat_tables(parts)
 
         # --- LWW, pure Arrow: sort by (seq, lsn) ascending (nulls
@@ -320,14 +369,6 @@ def make_apply_kernel(
             return win.column(name if name in key_cols else f"{name}_last")
 
         # --- write replacement files (file-granularity COW) --------------
-        out_schema = pa.schema(
-            list(target)
-            + [
-                pa.field("_bucket", pa.int32()),
-                pa.field("_lsn", pa.int64()),
-                pa.field("_deleted", pa.bool_()),
-            ]
-        )
         del_mask = pc.equal(wcol("_op"), pa.scalar("D"))
         del_mask = pc.fill_null(del_mask, False)
         full = pa.table(
@@ -339,6 +380,11 @@ def make_apply_kernel(
             ],
             schema=out_schema,
         )
+        # fold the untouched passthrough rows back in before the key
+        # sort: they never entered the event shape, so this is their
+        # only materialization in the task
+        if passthrough:
+            full = pa.concat_tables([full, *passthrough])
         # sort data files by key: conv_id runs prefix-compress, parquet
         # min/max stats get tight ranges, per-conversation reads are
         # sequential (the lake sort-order spec). The winners table is

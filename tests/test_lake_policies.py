@@ -470,3 +470,55 @@ def test_adaptive_precombine_engages_on_persistent_hot_key(spark, tmp_path, monk
     )
     assert m3["precombine"] is False
     assert tbl.read().filter(F.col("conv_id") == "conv_hot").first()["text"] == "z"
+
+
+def test_untouched_rows_pass_through_lww_under_schema_evolution(spark, tmp_path):
+    """Contended-row split: existing-file rows whose key is not in the
+    batch bypass the (ts, lsn) sort + group-last and are appended
+    directly to the key-sorted rewrite. They must still be aligned to
+    the evolved schema (new columns null-filled), keep their tombstone
+    flag, and survive a same-file partial update byte-equal in value."""
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        seq_col="ts",
+        num_buckets=1,  # one bucket, one file: every key shares the file
+    )
+    seed = [
+        (f"c{i:02d}", 0, f"v{i}", "2024-01-01 00:00:00", "I", i) for i in range(8)
+    ]
+    tbl.merge(_events(spark, seed), mode="arrow")
+    # delete one key so the bucket also has a tombstone file whose rows
+    # (except the contended one) must pass through unchanged
+    tbl.merge(
+        _events(spark, [("c03", 0, None, "2024-01-02 00:00:00", "D", 100)]),
+        mode="arrow",
+    )
+
+    # evolved batch: adds a `tool` column, touches ONLY c01 — the other
+    # seven keys (six live + one tombstone) ride the passthrough path
+    ev = spark.createDataFrame(
+        [("c01", 0, "v1b", "2024-01-03 00:00:00", "claude", "U", 200)],
+        "conv_id string, turn_idx int, text string, ts string, tool string, "
+        "op string, lsn long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    m = tbl.merge(ev, mode="arrow")
+    assert m["schema_changes"], "tool column should evolve the schema"
+
+    got = tbl.read().orderBy("conv_id").toPandas()
+    assert list(got["conv_id"]) == [f"c{i:02d}" for i in range(8) if i != 3]
+    assert got.set_index("conv_id")["text"]["c01"] == "v1b"
+    assert got.set_index("conv_id")["tool"]["c01"] == "claude"
+    # passthrough rows: original values, evolved column null-filled
+    untouched = got[got["conv_id"] != "c01"]
+    assert untouched["tool"].isna().all()
+    assert list(untouched["text"]) == [f"v{i}" for i in range(8) if i not in (1, 3)]
+    # the tombstone passed through with its flag intact
+    dead = (
+        tbl.read(include_deleted=True, include_system=True)
+        .filter("_deleted")
+        .toPandas()
+    )
+    assert list(dead["conv_id"]) == ["c03"]
