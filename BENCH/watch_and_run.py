@@ -49,8 +49,15 @@ def main() -> None:
                 "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
                 **p, "ok": ok,
             }) + "\n")
+        # launch on the FIRST healthy probe: host_probe is already
+        # best-of-3 settle-spaced (a real stall cannot pass it), and
+        # run_scaling re-gates every timed region itself, so a window
+        # that closes immediately just skips runs and returns here —
+        # whereas waiting for a 2-probe streak missed every one of the
+        # brief (<2 min) windows the health timeline recorded on
+        # 2026-08-18 (3 healthy probes, zero consecutive).
         streak = streak + 1 if ok else 0
-        if streak >= 2:
+        if streak >= 1:
             if os.path.exists(BUSY):
                 streak = 0
                 continue
