@@ -423,6 +423,13 @@ def make_apply_kernel(
                     "rows_written": counts[False] + counts[True],
                     "tombstones": counts[True],
                     "max_key_rows": max_key_rows,
+                    # work-reduction evidence for the contended-row
+                    # split, wall-clock-independent: rows that entered
+                    # the (ts, lsn) LWW sort vs rows that bypassed it
+                    "lww_rows": int(events.num_rows),
+                    "passthrough_rows": int(
+                        sum(t.num_rows for t in passthrough)
+                    ),
                     "stats": _json.dumps(stats),
                     "kept": _json.dumps(kept_paths),
                 }
@@ -434,5 +441,5 @@ def make_apply_kernel(
 
 APPLY_RESULT_SCHEMA = (
     "_bucket int, rows_written long, tombstones long, max_key_rows long, "
-    "stats string, kept string"
+    "lww_rows long, passthrough_rows long, stats string, kept string"
 )

@@ -677,6 +677,7 @@ class LakeTable:
         _log(f"apply start (mode={mode})")
         max_key_rows = None
         used_precombine = False
+        kernel_stats = None
         if mode == "arrow":
             st = self._merge_arrow_job(
                 src, snap, new_schema, stage_dir, shuffle_parts, has_env, wm,
@@ -684,7 +685,7 @@ class LakeTable:
                 target_file_rows=target_file_rows,
             )
             if st is not None:
-                st, max_key_rows, used_precombine = st
+                st, max_key_rows, used_precombine, kernel_stats = st
         else:
             st = self._merge_sql_job(
                 src, snap, new_schema, stage_dir, shuffle_parts, has_env, wm,
@@ -764,6 +765,8 @@ class LakeTable:
             # per-partition lineage/metrics); -1 = envelope-less batch
             "rows_by_partition": {str(k): v for k, v in sorted(per_partition.items())},
         }
+        if kernel_stats is not None:
+            metrics.update(kernel_stats)
         if max_key_rows is not None:
             # batch skew stat: drives the NEXT batch's adaptive map-side
             # pre-combine decision (a hot conv_id persists across batches)
@@ -978,10 +981,17 @@ class LakeTable:
                 else:
                     seg[k] = [s["lo"], s["hi"]]
         max_key_rows = max(int(r["max_key_rows"]) for r in res)
+        # contended-row-split work evidence (wall-clock-independent):
+        # rows through the LWW sort vs rows that bypassed it
+        kstats = {
+            "lww_rows": sum(int(r["lww_rows"]) for r in res),
+            "passthrough_rows": sum(int(r["passthrough_rows"]) for r in res),
+        }
         return (
             (touched, rows_in, late_events, max_ts, seg, per_partition, kept),
             max_key_rows,
             precombine,
+            kstats,
         )
 
     def _merge_sql_job(

@@ -506,6 +506,12 @@ def test_untouched_rows_pass_through_lww_under_schema_evolution(spark, tmp_path)
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     m = tbl.merge(ev, mode="arrow")
     assert m["schema_changes"], "tool column should evolve the schema"
+    # work-reduction counters: only the batch row + the contended c01
+    # row entered the LWW sort; the six other live rows rode the
+    # passthrough (the c03 tombstone file's [c03, c03] key range does
+    # not overlap the batch, so it was range-pruned and never read)
+    assert m["lww_rows"] == 2
+    assert m["passthrough_rows"] == 6
 
     got = tbl.read().orderBy("conv_id").toPandas()
     assert list(got["conv_id"]) == [f"c{i:02d}" for i in range(8) if i != 3]
