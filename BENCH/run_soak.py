@@ -142,6 +142,9 @@ def main() -> None:
                 "late_events": m["late_events"],
                 "target_rows_read": m["target_rows_read"],
                 "rows_written": m["rows_written"],
+                # contended-split work evidence (wall-clock-independent)
+                "lww_rows": m.get("lww_rows"),
+                "passthrough_rows": m.get("passthrough_rows"),
                 "probe_pre": pre,
                 "probe_post": post,
                 "clean": clean,
