@@ -112,6 +112,14 @@ def gated_run(zip_path: str, executors: int, n_events: int, n_batches: int):
     return (r if tele["clean"] else None), tele
 
 
+def _probes(r: dict) -> str:
+    p, q = r.get("probe_pre"), r.get("probe_post")
+    if not p or not q:
+        return "n/a"
+    return (f"{p['first_touch_gbs']}/{p['steady_gbs']} → "
+            f"{q['first_touch_gbs']}/{q['steady_gbs']}")
+
+
 def main() -> None:
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", "16000000"))
     n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
@@ -183,10 +191,16 @@ reaching executors only through the zip). Probe-gated like the
 thread-based headline; telemetry in
 `BENCH/cluster_scaling_telemetry.json`.
 
-| executors | events/sec | wall (s) |
-|---|---|---|
-| {N_EXEC} (N)  | {tN_["cdc_events_per_sec"]:,.1f} | {tN_["cdc_wall_sec"]} |
-| {N4_EXEC} (4N) | {t4_["cdc_events_per_sec"]:,.1f} | {t4_["cdc_wall_sec"]} |
+| executors | events/sec | wall (s) | probes pre→post (first/steady GB/s) |
+|---|---|---|---|
+| {N_EXEC} (N)  | {tN_["cdc_events_per_sec"]:,.1f} | {tN_["cdc_wall_sec"]} | {_probes(tN_)} |
+| {N4_EXEC} (4N) | {t4_["cdc_events_per_sec"]:,.1f} | {t4_["cdc_wall_sec"]} | {_probes(t4_)} |
+
+Clean-window floors in force for this run: first-touch >=
+{MIN_FIRST_GBS} GB/s, steady memcpy >= {MIN_STEADY_GBS} GB/s
+(healthy host: ~2-4 / ~8-12; full-stall: ~0.01; the bracketing probes
+above are the actual host state each sample was taken in — adjudicate
+against them).
 
 **Multi-executor scaling efficiency = ({t4_["cdc_events_per_sec"]:,.1f} / {tN_["cdc_events_per_sec"]:,.1f}) / {N4_EXEC // N_EXEC} = {eff:.3f}**
 
@@ -197,8 +211,12 @@ thread-based sweep at the same event count: same seeded log).
 
 Generated by `python BENCH/run_cluster_scaling.py` on {datetime.now(timezone.utc).isoformat(timespec="seconds")}.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write(md)
+    from run_cpu_pair import write_section
+
+    write_section(
+        os.path.join(REPO, "BENCH", "BASELINE.md"), md,
+        heading="## Multi-executor pair: spark-submit --py-files",
+    )
     print(md, flush=True)
 
 

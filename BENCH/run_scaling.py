@@ -134,7 +134,10 @@ def gated_run(cpus: int, n_events: int, n_batches: int) -> tuple[dict | None, di
             "clean": probe_ok(pre) and probe_ok(post),
             "events_per_sec": r["cdc_events_per_sec"], "wall_sec": r["cdc_wall_sec"],
             "executor_cpu_sec": r.get("executor_cpu_sec"),
-            "tree_cpu_sec": r.get("tree_cpu_sec")}
+            "tree_cpu_sec": r.get("tree_cpu_sec"),
+            "tree_user_sec": r.get("tree_user_sec"),
+            "tree_sys_sec": r.get("tree_sys_sec"),
+            "tree_minflt": r.get("tree_minflt")}
     return (r if tele["clean"] else None), tele
 
 
