@@ -117,18 +117,29 @@ def executor_totals(spark) -> dict | None:
         return None
 
 
-def tree_cpu_sec() -> float | None:
-    """Total CPU (user+sys, live + reaped-child) of this process and every
-    descendant, via one /proc scan. Bracketing the timed merge loop with
-    this captures the CPU the REST metric can't see — the forked Python
-    workers running the Arrow merge kernel are children of the JVM, and
-    `executorCpuTime` counts JVM threads only. Including cutime/cstime
-    makes the bracket delta exact even when a worker is reaped between
-    brackets (its total rolls into the parent's cutime at reap)."""
+def tree_cpu_stats() -> dict | None:
+    """CPU and fault totals (live + reaped-child) of this process and
+    every descendant, via one /proc scan. Bracketing the timed merge
+    loop with this captures the CPU the REST metric can't see — the
+    forked Python workers running the Arrow merge kernel are children
+    of the JVM, and `executorCpuTime` counts JVM threads only.
+    Including the c* (reaped-child) fields makes the bracket delta
+    exact even when a worker is reaped between brackets.
+
+    User and sys are returned SEPARATELY because they answer different
+    questions on a degraded host: user CPU is the engine's own
+    instruction stream (stall-resistant: hypervisor steal is not
+    charged, and page-fault handling is kernel time), while sys CPU
+    absorbs the fault-handler pathology — when first-touch collapses
+    (see host_probe), every fault burns 10-100x its normal kernel
+    cycles, inflating sys without the engine doing anything different.
+    Minor-fault counts complete the picture: identical fault COUNTS
+    with inflated sys time is the signature of a slow host, not of an
+    engine allocating more."""
     try:
         tick = os.sysconf("SC_CLK_TCK")
         ppid: dict[int, int] = {}
-        cpu: dict[int, float] = {}
+        stats: dict[int, tuple] = {}
         for p in os.listdir("/proc"):
             if not p.isdigit():
                 continue
@@ -140,9 +151,14 @@ def tree_cpu_sec() -> float | None:
             rest = s[s.rindex(")") + 2:].split()
             pid = int(p)
             ppid[pid] = int(rest[1])
-            cpu[pid] = (
-                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
-            ) / tick
+            # stat fields (0-based after comm): 7 minflt, 8 cminflt,
+            # 9 majflt, 10 cmajflt, 11 utime, 12 stime, 13 cutime, 14 cstime
+            stats[pid] = (
+                (int(rest[11]) + int(rest[13])) / tick,  # user
+                (int(rest[12]) + int(rest[14])) / tick,  # sys
+                int(rest[7]) + int(rest[8]),             # minflt
+                int(rest[9]) + int(rest[10]),            # majflt
+            )
         fam = {os.getpid()}
         changed = True
         while changed:
@@ -151,7 +167,13 @@ def tree_cpu_sec() -> float | None:
                 if pp in fam and pid not in fam:
                     fam.add(pid)
                     changed = True
-        return sum(cpu[p] for p in fam if p in cpu)
+        rows = [stats[p] for p in fam if p in stats]
+        return {
+            "user_sec": sum(r[0] for r in rows),
+            "sys_sec": sum(r[1] for r in rows),
+            "minflt": sum(r[2] for r in rows),
+            "majflt": sum(r[3] for r in rows),
+        }
     except Exception:
         return None
 
@@ -253,7 +275,7 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
         time.sleep(15)
         probe_pre = host_probe()
     exec0 = executor_totals(spark)
-    tree0 = tree_cpu_sec()
+    tree0 = tree_cpu_stats()
     t0 = time.time()
     total_metrics = {"dedup_drops": 0, "rows_written": 0, "late_events": 0}
     for mb in range(n_batches):
@@ -262,9 +284,29 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
         for k in total_metrics:
             total_metrics[k] += m.get(k, 0)
     wall = time.time() - t0
-    tree1 = tree_cpu_sec()
+    tree1 = tree_cpu_stats()
     exec1 = executor_totals(spark)
-    probe_post = host_probe()
+    # Post-bracket with bounded settle-retry. The immediate draw often
+    # measures the run's own wake: a 16g AlwaysPreTouch JVM plus GBs of
+    # tmpfs churn drains the host's zeroed-page pool, so first-touch
+    # reads ~0.2 GB/s for tens of seconds after ANY big run — even in a
+    # window where the launch gate read healthy (observed repeatedly in
+    # scaling_telemetry.json: gate 3.2 GB/s → post 0.21 → next gate
+    # healthy again). A genuine hypervisor stall here is minutes-to-
+    # hours long, so a probe that recovers within the settle budget
+    # (default 90 s) cannot have been a stall that distorted the timed
+    # region. Both draws are recorded; the settled one is the
+    # certifying bracket, the immediate one keeps the reader honest.
+    probe_post_immediate = host_probe()
+    probe_post = probe_post_immediate
+    post_budget = float(os.environ.get("BENCH_POST_SETTLE_SEC", "90"))
+    t_post = time.time()
+    while (
+        (probe_post["first_touch_gbs"] < 1.0 or probe_post["steady_gbs"] < 5.0)
+        and time.time() - t_post < post_budget
+    ):
+        time.sleep(15)
+        probe_post = host_probe()
     out = {
         "cdc_events": n_events,
         "cdc_batches": n_batches,
@@ -281,12 +323,23 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
             if exec0 and exec1
             else None
         ),
-        "tree_cpu_sec": (
-            round(tree1 - tree0, 1) if tree0 is not None and tree1 is not None
-            else None
+        **(
+            {
+                "tree_cpu_sec": round(
+                    (tree1["user_sec"] + tree1["sys_sec"])
+                    - (tree0["user_sec"] + tree0["sys_sec"]), 1
+                ),
+                "tree_user_sec": round(tree1["user_sec"] - tree0["user_sec"], 1),
+                "tree_sys_sec": round(tree1["sys_sec"] - tree0["sys_sec"], 1),
+                "tree_minflt": tree1["minflt"] - tree0["minflt"],
+                "tree_majflt": tree1["majflt"] - tree0["majflt"],
+            }
+            if tree0 is not None and tree1 is not None
+            else {"tree_cpu_sec": None}
         ),
         "probe_pre": probe_pre,
         "probe_post": probe_post,
+        "probe_post_immediate": probe_post_immediate,
     }
     shutil.rmtree(workdir, ignore_errors=True)
     return out
