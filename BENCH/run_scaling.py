@@ -378,13 +378,20 @@ cluster only `--master` changes.
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
         f.write(health_timeline_md())
-        # re-append the stall-resistant CPU-invariance section (this
-        # rewrite must not destroy that evidence channel)
+        # re-append the stall-resistant CPU-invariance and plateau-pair
+        # sections (this rewrite must not destroy those evidence channels)
         pair_path = os.path.join(REPO, "BENCH", "cpu_pair.json")
         if os.path.exists(pair_path):
             from run_cpu_pair import cpu_pair_md
             with open(pair_path) as pf:
                 f.write(cpu_pair_md(json.load(pf)))
+        plateau_path = os.path.join(REPO, "BENCH", "plateau_pairs.json")
+        if os.path.exists(plateau_path):
+            from run_plateau_pairs import plateau_md
+            with open(plateau_path) as pf:
+                plat = json.load(pf)
+            if plat.get("pairs"):
+                f.write(plateau_md(plat))
     print(f"efficiency ({N}->{N4}): {eff:.3f} over {len(pairs)} clean pairs "
           f"-> BENCH/BASELINE.md", flush=True)
 

@@ -34,21 +34,62 @@ BUSY = os.path.join(REPO, "BENCH", ".busy")
 RUNNING = os.path.join(REPO, "BENCH", ".sweep_running")
 
 
+def plateau_stable(recent: list[dict]) -> bool:
+    """True when the last few probes show the documented plateau regime:
+    steady memcpy healthy, first-touch above the deep-stall floor, and
+    the first-touch readings sitting in one narrow band (the plateau is
+    stable to ±5% for hours; 1.3x tolerates probe noise while rejecting
+    a regime shift)."""
+    if len(recent) < 3:
+        return False
+    last = recent[-3:]
+    firsts = [p["first_touch_gbs"] for p in last]
+    return (
+        all(p["steady_gbs"] >= 5.0 for p in last)
+        and all(f >= 0.1 for f in firsts)
+        and max(firsts) / max(min(firsts), 1e-9) <= 1.3
+    )
+
+
 def main() -> None:
     deadline = time.time() + float(os.environ.get("WATCH_BUDGET_SEC", "18000"))
     cadence = float(os.environ.get("WATCH_CADENCE_SEC", "120"))
     streak = 0
+    recent: list[dict] = []
+    plateau_done = os.path.exists(os.path.join(REPO, "BENCH", "plateau_pairs.json"))
     while time.time() < deadline:
         if os.path.exists(BUSY):
             time.sleep(30)
             continue
         p = host_probe()
         ok = probe_ok(p)
+        recent = (recent + [p])[-5:]
         with open(LOG, "a") as f:
             f.write(json.dumps({
                 "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
                 **p, "ok": ok,
             }) + "\n")
+        # middle tier: a CLEAN window outranks it, but if the host sits
+        # in its stable half-recovered plateau (see run_plateau_pairs),
+        # bank the plateau-qualified N→4N pairs ONCE while continuing
+        # to watch for a genuinely clean window afterwards
+        if not ok and not plateau_done and plateau_stable(recent):
+            print("stable plateau detected — banking plateau-qualified pairs",
+                  flush=True)
+            open(RUNNING, "w").close()
+            try:
+                rcp = subprocess.run(
+                    [sys.executable,
+                     os.path.join(REPO, "BENCH", "run_plateau_pairs.py")],
+                ).returncode
+            finally:
+                try:
+                    os.remove(RUNNING)
+                except OSError:
+                    pass
+            print(f"run_plateau_pairs.py exited rc={rcp}", flush=True)
+            plateau_done = rcp == 0
+            continue
         # launch on the FIRST healthy probe: host_probe is already
         # best-of-3 settle-spaced (a real stall cannot pass it), and
         # run_scaling re-gates every timed region itself, so a window
