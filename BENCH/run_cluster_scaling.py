@@ -40,7 +40,7 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from run_scaling import MIN_FIRST_GBS, MIN_STEADY_GBS, host_probe, probe_ok, settled_probe  # noqa: E402
+from run_scaling import MIN_FIRST_GBS, MIN_STEADY_GBS, default_log_cache, host_probe, probe_ok, settled_probe  # noqa: E402
 
 N_EXEC = int(os.environ.get("BENCH_CLUSTER_N", "2"))
 N4_EXEC = int(os.environ.get("BENCH_CLUSTER_4N", "8"))
@@ -127,7 +127,7 @@ def main() -> None:
     max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "8"))
     cache = os.environ.get(
         "BENCH_CDC_LOG_CACHE",
-        ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp") + "/bear_bench_logcache",
+        default_log_cache(),
     )
     os.environ["BENCH_CDC_LOG_CACHE"] = cache
 

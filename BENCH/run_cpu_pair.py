@@ -27,7 +27,7 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from run_scaling import run_level  # noqa: E402
+from run_scaling import default_log_cache, run_level  # noqa: E402
 
 N, N4 = 2, 8
 
@@ -35,11 +35,7 @@ N, N4 = 2, 8
 def main() -> None:
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", "16000000"))
     n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
-    cache = os.environ.get(
-        "BENCH_CDC_LOG_CACHE",
-        ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
-        + "/bear_bench_logcache",
-    )
+    cache = os.environ.get("BENCH_CDC_LOG_CACHE", default_log_cache())
     os.environ["BENCH_CDC_LOG_CACHE"] = cache
     # don't settle-wait inside the children: this channel is explicitly
     # dirty-window tolerant, and CPU totals don't care about stalls

@@ -39,7 +39,7 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from run_cpu_pair import write_section  # noqa: E402
-from run_scaling import run_level  # noqa: E402
+from run_scaling import default_log_cache, run_level  # noqa: E402
 
 N, N4 = 2, 8
 
@@ -77,11 +77,7 @@ def main() -> None:
     n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
     k_pairs = int(os.environ.get("PLATEAU_PAIRS", "3"))
     max_attempts = int(os.environ.get("PLATEAU_MAX_ATTEMPTS", "6"))
-    cache = os.environ.get(
-        "BENCH_CDC_LOG_CACHE",
-        ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
-        + "/bear_bench_logcache",
-    )
+    cache = os.environ.get("BENCH_CDC_LOG_CACHE", default_log_cache())
     os.environ["BENCH_CDC_LOG_CACHE"] = cache
     # no settle-wait inside children: qualification is post-hoc from the
     # in-situ brackets, and waiting would burn the plateau window

@@ -62,6 +62,13 @@ def host_probe() -> dict:
     return _bench_probe()
 
 
+def default_log_cache() -> str:
+    """Single definition of the staged-changelog cache location — every
+    harness script must stage into the SAME directory or tmpfs ends up
+    holding duplicate multi-GB changelog copies."""
+    return ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp") + "/bear_bench_logcache"
+
+
 def probe_ok(p: dict) -> bool:
     return p["first_touch_gbs"] >= MIN_FIRST_GBS and p["steady_gbs"] >= MIN_STEADY_GBS
 
@@ -150,10 +157,7 @@ def main() -> None:
     # shared changelog cache: generation happens ONCE at local[32]
     # (untimed, probe-independent) and every gated run replays the
     # identical staged files — see bench.bench_cdc
-    cache = os.environ.get(
-        "BENCH_CDC_LOG_CACHE",
-        ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp") + "/bear_bench_logcache",
-    )
+    cache = os.environ.get("BENCH_CDC_LOG_CACHE", default_log_cache())
     os.environ["BENCH_CDC_LOG_CACHE"] = cache  # inherited by run_level children
     # the N→4N pairs are the evidence and run at full n_events; the
     # 1..32-core curve is illustrative shape, so it may run smaller to

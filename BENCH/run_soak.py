@@ -167,6 +167,14 @@ def main() -> None:
     maint_wall += time.time() - t0
     final_rows = table.read().count()
 
+    if not per_batch or merge_wall <= 0:
+        # wall budget spent before the first batch could apply (session
+        # boot + warmup + generation can eat minutes on a stalled host):
+        # report the fact instead of dying on a zero division
+        print("soak aborted: wall budget exhausted before any batch applied",
+              flush=True)
+        sys.exit(2)
+
     clean_batches = [b for b in per_batch if b["clean"]]
     clean_wall = sum(b["wall_sec"] for b in clean_batches)
     totals = {

@@ -118,11 +118,20 @@ def main() -> None:
                 # same window, bonus artifact: the N vs 4N separate-
                 # executor-JVM pair (spark-submit --py-files on
                 # local-cluster); itself probe-gated, so a closed
-                # window just records telemetry and exits non-zero
-                rc2 = subprocess.run(
-                    [sys.executable,
-                     os.path.join(REPO, "BENCH", "run_cluster_scaling.py")],
-                ).returncode
+                # window just records telemetry and exits non-zero.
+                # Hold RUNNING here too — the handshake must cover
+                # every live measurement, not just the first script.
+                open(RUNNING, "w").close()
+                try:
+                    rc2 = subprocess.run(
+                        [sys.executable,
+                         os.path.join(REPO, "BENCH", "run_cluster_scaling.py")],
+                    ).returncode
+                finally:
+                    try:
+                        os.remove(RUNNING)
+                    except OSError:
+                        pass
                 print(f"run_cluster_scaling.py exited rc={rc2}", flush=True)
                 # ride the rest of the window: the long soak, per-batch
                 # probe-annotated and wall-budgeted so a stall that
