@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 from typing import Callable
 
 from bear_spark.config import Settings, get_spark_from_settings
@@ -67,7 +68,12 @@ def bootstrap(
             compact_every=s.compact_every,
             metrics_flush_every=s.metrics_flush_every,
             merge_mode=s.merge_mode,
-            merge_precombine={"1": True, "0": False}.get(s.merge_precombine),
+            # same vocabulary LakeTable.merge accepts from the process
+            # env, so .env and env-var spellings behave identically
+            merge_precombine={
+                "1": True, "true": True, "on": True,
+                "0": False, "false": False, "off": False,
+            }.get(str(s.merge_precombine).lower()),
             target_file_rows=s.target_file_rows,
         )
         metrics = app.run_available()
@@ -118,7 +124,13 @@ def quick_setup(
         return False
 
     root = ask("Table root directory", os.path.join(os.getcwd(), "bear_data"))
-    cores = ask("Spark cores (e.g. local[8]; empty = auto)", "")
+    cores = ask("Spark cores (a count like 8, or *; empty = auto)", "")
+    # Settings.cores is a core COUNT ('8' or '*'), not a master URL —
+    # get_spark builds f"local[{cores}]" itself. Unwrap the master-URL
+    # spelling users habitually type so the session can actually boot.
+    m = re.fullmatch(r"local\[(.+)\]", cores.strip())
+    if m:
+        cores = m.group(1)
     provider = ask("Embedding provider (deterministic/http)", "deterministic")
 
     lines = [f"{k}={v}\n" for k, v in _QUICK_DEFAULTS]

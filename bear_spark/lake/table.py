@@ -5,7 +5,7 @@ Layout on disk::
     <root>/
       _meta/VERSION          # current snapshot version (atomic os.replace)
       _meta/v<N>.json        # immutable snapshot documents
-      data/s<N>/_bucket_dir=<K>/*.parquet   # data files staged by commit N
+      data/s<N>-<token>/_bucket_dir=<K>/*.parquet  # files staged by an attempt at commit N
 
 A snapshot records: the schema registry (all schema versions), the data
 files per bucket (each tagged with the schema version it was written
@@ -670,7 +670,14 @@ class LakeTable:
         )
 
         new_version = expect_version + 1
-        stage_rel = os.path.join("data", f"s{new_version}")
+        # per-ATTEMPT unique stage dir: a crashed or racing merge
+        # attempt at the same target version must never share a stage
+        # directory with this one — enumeration would commit its
+        # orphan chunk files into the table. Orphan attempt dirs are
+        # unreferenced by any snapshot and reclaimed by vacuum().
+        stage_rel = os.path.join(
+            "data", f"s{new_version}-{uuid.uuid4().hex[:8]}"
+        )
         stage_dir = os.path.join(self.root, stage_rel)
         shuffle_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -1123,7 +1130,11 @@ class LakeTable:
             src.unpersist()
 
     # ------------------------------------------------------- maintenance
-    def compact(self, target_files_per_bucket: int = 1) -> dict[str, int]:
+    def compact(
+        self,
+        target_files_per_bucket: int = 1,
+        target_file_rows: int | None = None,
+    ) -> dict[str, int]:
         """Rewrite FRAGMENTED buckets' files into fewer, larger files.
 
         COW merges leave multiple files per bucket (chunked writes, task
@@ -1133,16 +1144,34 @@ class LakeTable:
         by reference, so the job reads O(fragmented), not O(table). A
         no-op (nothing fragmented) commits nothing. Rewritten files are
         re-sorted by key (the lake file sort-order spec: tight parquet
-        min/max ranges for merge-time pruning)."""
+        min/max ranges for merge-time pruning).
+
+        ``target_file_rows`` (same knob/default as ``merge``) bounds the
+        rewritten files AND raises the fragmentation floor: a bucket
+        whose file count is already justified by its row count
+        (ceil(rows / target_file_rows)) is NOT fragmentation — merging
+        its chunks back into one unbounded file would defeat the merge
+        writer's size bound and set up a split/re-merge cycle between
+        the two maintenance passes."""
         snap = self._snapshot()
         fmap = self._files(snap)
         tgt = max(1, int(target_files_per_bucket))
+        if target_file_rows is None:
+            target_file_rows = int(os.environ.get("BEAR_TARGET_FILE_ROWS", "2000000"))
+        tfr = max(1, int(target_file_rows))
 
         def _fragmented(fs: list[dict]) -> bool:
             # live and tombstone files land in separate dirs, so the
-            # floor is one file per side — count the sides separately
-            live = sum(1 for fi in fs if not fi.get("deleted"))
-            return live > tgt or (len(fs) - live) > tgt
+            # floor is one file per side — count the sides separately,
+            # each against max(target, files its rows legitimately need)
+            def _side(side_fs: list[dict]) -> bool:
+                rows = sum(fi["rows"] for fi in side_fs)
+                floor = max(tgt, -(-rows // tfr))
+                return len(side_fs) > floor
+
+            return _side([fi for fi in fs if not fi.get("deleted")]) or _side(
+                [fi for fi in fs if fi.get("deleted")]
+            )
 
         frag = sorted(int(b) for b, fs in fmap.items() if _fragmented(fs))
         if not frag:
@@ -1150,7 +1179,14 @@ class LakeTable:
         files_before = sum(len(fmap[str(b)]) for b in frag)
         expect_version = snap["version"]
         new_version = expect_version + 1
-        stage_rel = os.path.join("data", f"s{new_version}")
+        # per-ATTEMPT unique stage dir: a crashed or racing merge
+        # attempt at the same target version must never share a stage
+        # directory with this one — enumeration would commit its
+        # orphan chunk files into the table. Orphan attempt dirs are
+        # unreferenced by any snapshot and reclaimed by vacuum().
+        stage_rel = os.path.join(
+            "data", f"s{new_version}-{uuid.uuid4().hex[:8]}"
+        )
         stage_dir = os.path.join(self.root, stage_rel)
         key_cols = snap["key_cols"]
         df = self._read_files(snap, frag)
@@ -1159,7 +1195,8 @@ class LakeTable:
             .withColumn("_del", F.col("_deleted"))
             .repartition(len(frag), "_bucket")
             .sortWithinPartitions("_bucket_dir", "_del", *key_cols)
-            .write.partitionBy("_bucket_dir", "_del")
+            .write.option("maxRecordsPerFile", tfr)
+            .partitionBy("_bucket_dir", "_del")
             .mode("overwrite")
             .parquet(stage_dir)
         )
@@ -1202,7 +1239,14 @@ class LakeTable:
             return {"expired": 0, "kept": 0}
         expect_version = snap["version"]
         new_version = expect_version + 1
-        stage_rel = os.path.join("data", f"s{new_version}")
+        # per-ATTEMPT unique stage dir: a crashed or racing merge
+        # attempt at the same target version must never share a stage
+        # directory with this one — enumeration would commit its
+        # orphan chunk files into the table. Orphan attempt dirs are
+        # unreferenced by any snapshot and reclaimed by vacuum().
+        stage_rel = os.path.join(
+            "data", f"s{new_version}-{uuid.uuid4().hex[:8]}"
+        )
         stage_dir = os.path.join(self.root, stage_rel)
         seq_col = snap["seq_col"]
 

@@ -68,7 +68,14 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    return sig.select(
+        id_col,
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias(
+            # column metadata carries the signature length so banding
+            # can derive rows-per-band from what was ACTUALLY built
+            "sig", metadata={"num_hashes": num_hashes}
+        ),
+    )
 
 
 def band_hash_expr(sig_col: str, band: int, rows_per_band: int) -> Column:
@@ -80,13 +87,31 @@ def band_hash_expr(sig_col: str, band: int, rows_per_band: int) -> Column:
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", bands: int = 16, num_hashes: int = 64
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 16, num_hashes: int | None = None
 ) -> DataFrame:
     """Band the signature and emit candidate pairs sharing any band.
 
     Join key is (band_id, band_hash) — an equi-join, never a cross
     join; pairs are deduplicated across bands.
+
+    ``num_hashes`` defaults to the ACTUAL signature length (read from
+    the column's array expression when statically known): a caller who
+    built 128-position signatures but banded with a stale 64 default
+    would silently use only half the signature — lower recall with no
+    error. Pass it explicitly only to band a prefix on purpose.
     """
+    if num_hashes is None:
+        # minhash_signatures stamps the built length into column
+        # metadata; a foreign signature frame needs one single-row probe
+        meta = sig.schema["sig"].metadata or {}
+        num_hashes = int(meta.get("num_hashes", 0))
+        if not num_hashes:
+            row = sig.select(F.size("sig").alias("n")).first()
+            num_hashes = int(row["n"]) if row else 64
+    if num_hashes % bands:
+        raise ValueError(
+            f"signature length {num_hashes} not divisible by bands={bands}"
+        )
     r = num_hashes // bands
     banded = sig.select(
         id_col,

@@ -143,17 +143,29 @@ class ModelRegistry:
         for name, s in self.specs.items():
             if vec_col not in s.schema.fieldNames():
                 continue
+            part_id = id_col or s.key_cols[0]
             eng = SearchEngine(
                 self.tables[name].read(),
-                id_col=id_col or s.key_cols[0],
+                id_col=part_id,
                 vec_col=vec_col,
             )
             hits = eng.search_resource(query_vec, top_k=top_k, **search_kwargs)
-            parts.append(hits.withColumn(type_col, F.lit(name)))
+            parts.append(
+                hits.withColumn(type_col, F.lit(name))
+                # a stable tie-break id that exists in EVERY part: specs
+                # may declare differently-named key columns, and a part
+                # can be skipped entirely (no vector column), so sorting
+                # by any one spec's key name would be unresolvable on
+                # the union
+                .withColumn("_sort_id", F.col(part_id).cast("string"))
+            )
         if not parts:
             raise ValueError(f"no registered spec declares a {vec_col!r} column")
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        sort_id = id_col or next(iter(self.specs.values())).key_cols[0]
-        return out.orderBy(F.desc("distance"), type_col, sort_id).limit(top_k)
+        return (
+            out.orderBy(F.desc("distance"), type_col, "_sort_id")
+            .limit(top_k)
+            .drop("_sort_id")
+        )

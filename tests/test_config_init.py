@@ -47,7 +47,10 @@ def test_quick_setup_checklist(tmp_path):
     assert wrote and envf.exists()
     s = Settings.load(env_file=str(envf), env={})
     assert s.root == str(tmp_path / "lake")
-    assert s.cores == "local[4]"
+    # the habitual master-URL spelling is unwrapped to the core COUNT
+    # Settings.cores actually means — get_spark builds local[{cores}]
+    # itself, so persisting 'local[4]' verbatim would crash the session
+    assert s.cores == "4"
     assert s.embedding_provider == "http"
     assert s.num_buckets == 64 and s.merge_mode == "arrow"  # defaults block
 

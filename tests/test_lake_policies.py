@@ -528,3 +528,89 @@ def test_untouched_rows_pass_through_lww_under_schema_evolution(spark, tmp_path)
         .toPandas()
     )
     assert list(dead["conv_id"]) == ["c03"]
+
+
+def test_orphan_stage_files_from_crashed_attempt_never_committed(spark, tmp_path):
+    """A merge attempt that crashed after staging chunk files must not
+    leak them into a later commit: stage dirs are per-ATTEMPT unique
+    (data/s<version>-<token>), so a later merge at the same target
+    version enumerates only its own files, and vacuum() reclaims the
+    orphan directory."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "tbl")
+    tbl = LakeTable.create(
+        spark, root, SCHEMA, key_cols=["conv_id", "turn_idx"],
+        seq_col="ts", num_buckets=1,
+    )
+    tbl.merge(_events(spark, [("c1", 0, "v1", "2024-01-01 00:00:00", "I", 1)]))
+
+    # fabricate the wreckage of a crashed attempt at the NEXT version:
+    # clone a real staged file's physical schema, poison its payload,
+    # and drop it where a version-keyed (non-tokenized) stage layout
+    # would have enumerated it
+    src = glob.glob(os.path.join(root, "data", "s1-*", "_bucket_dir=0",
+                                 "_del=false", "*.parquet"))[0]
+    t = pq.read_table(src)
+    poison = t.set_column(
+        t.schema.get_field_index("text"), "text",
+        pa.array(["POISON"] * t.num_rows, type=t.schema.field("text").type),
+    )
+    orphan_dir = os.path.join(root, "data", "s2-deadbeef",
+                              "_bucket_dir=0", "_del=false")
+    os.makedirs(orphan_dir)
+    pq.write_table(poison, os.path.join(orphan_dir, "part-00000-c0099.parquet"))
+
+    m = tbl.merge(_events(spark, [("c2", 0, "v2", "2024-01-02 00:00:00", "I", 2)]))
+    assert not m.get("skipped")
+    got = tbl.read().toPandas()
+    assert sorted(got["text"]) == ["v1", "v2"], "orphan chunk leaked into commit"
+
+    removed = tbl.vacuum()
+    assert "s2-deadbeef" in removed
+    assert sorted(tbl.read().toPandas()["text"]) == ["v1", "v2"]
+
+
+def test_compact_preserves_target_file_rows_chunking(spark, tmp_path):
+    """compact() must not merge legitimate target_file_rows chunks back
+    into one unbounded file: a bucket whose file count is justified by
+    ceil(rows / target_file_rows) is not fragmentation, and a genuinely
+    fragmented bucket is rewritten into size-bounded files, not one."""
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "tbl"), SCHEMA,
+        key_cols=["conv_id", "turn_idx"], seq_col="ts", num_buckets=1,
+    )
+    rows = [
+        (f"conv_{i:04d}", 0, f"t{i}", "2024-01-01 00:00:00", "I", i)
+        for i in range(250)
+    ]
+    tbl.merge(_events(spark, rows), target_file_rows=100)
+    live = [fi for fi in tbl.snapshot["files"]["0"] if not fi["deleted"]]
+    assert [fi["rows"] for fi in live] == [100, 100, 50]
+
+    # 3 chunks for 250 rows at tfr=100 is the legitimate floor → no-op
+    out = tbl.compact(target_files_per_bucket=1, target_file_rows=100)
+    assert out["buckets_compacted"] == 0
+
+    # now ACTUALLY fragment the bucket: five more 10-row merges
+    for k in range(5):
+        extra = [
+            (f"x{k}_{j:02d}", 0, "pad", "2024-01-01 00:00:00", "I",
+             1000 + k * 10 + j)
+            for j in range(10)
+        ]
+        tbl.merge(_events(spark, extra), target_file_rows=100)
+    live = [fi for fi in tbl.snapshot["files"]["0"] if not fi["deleted"]]
+    assert len(live) > 3
+    out = tbl.compact(target_files_per_bucket=1, target_file_rows=100)
+    assert out["buckets_compacted"] == 1
+    live = [fi for fi in tbl.snapshot["files"]["0"] if not fi["deleted"]]
+    total = sum(fi["rows"] for fi in live)
+    assert total == 300
+    assert all(fi["rows"] <= 100 for fi in live), [fi["rows"] for fi in live]
+    assert len(live) == 3
+    assert tbl.read().count() == 300
