@@ -224,7 +224,9 @@ Generated by `python BENCH/run_soak.py` on
 Sustained MERGE-apply **{totals["events_per_sec"]:,.0f} events/s** over
 {totals["merge_wall_sec"]}s of apply time; over the
 {totals["clean_batches"]}/{totals["batches"]} probe-clean batches
-(first-touch/steady brackets healthy) the sustained rate is
+(brackets ≥ {MIN_FIRST} GB/s first-touch and ≥ {MIN_STEADY} GB/s
+steady — the full pre/post probes are printed per batch below so the
+reader can adjudicate each one) the sustained rate is
 **{totals["clean_events_per_sec"] or "n/a"} events/s** (maintenance
 passes add {totals["maintenance_wall_sec"]}s, untimed generation
 excluded); {totals["dedup_drops"]:,} LWW dedup drops,
