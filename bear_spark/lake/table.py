@@ -262,9 +262,38 @@ class LakeTable:
         return self._snapshot()["lineage"]
 
     # ------------------------------------------------------------- read
+    @staticmethod
+    def _effective_buckets(snap: dict) -> int:
+        """Bucket-id space of the CURRENT layout: ``rebucket.to`` while an
+        incremental split is in progress (child ids run up to it), else
+        ``num_buckets``."""
+        rb = snap.get("rebucket")
+        return int(rb["to"]) if rb else int(snap["num_buckets"])
+
     def _bucket_expr(self, snap: dict):
+        """Routing expression for a key under the snapshot's layout.
+
+        Plain layout: ``pmod(xxhash64(cols), num_buckets)``. During an
+        incremental split (linear-hashing style, see ``split_buckets``)
+        old buckets below ``split_ptr`` have already been rewritten into
+        their children under the larger modulus, so keys hashing there
+        route with ``rebucket.to``; everything else still routes with
+        the old modulus. O(1) per row either way — the split frontier
+        is a single comparison, never a membership list."""
         cols = [F.col(c) for c in snap["bucket_cols"]]
-        return F.pmod(F.xxhash64(*cols), F.lit(snap["num_buckets"])).cast("int")
+        h = F.xxhash64(*cols)
+        base = F.pmod(h, F.lit(int(snap["num_buckets"])))
+        rb = snap.get("rebucket")
+        if rb:
+            return (
+                F.when(
+                    base < F.lit(int(rb["split_ptr"])),
+                    F.pmod(h, F.lit(int(rb["to"]))),
+                )
+                .otherwise(base)
+                .cast("int")
+            )
+        return base.cast("int")
 
     def _iter_files(self, snap: dict, buckets: Sequence[int] | None, include_deleted: bool = True):
         bset = None if buckets is None else set(buckets)
@@ -403,12 +432,7 @@ class LakeTable:
         row = self.spark.createDataFrame(
             [tuple(key_values)], T.StructType(fields)
         )
-        bucket = row.select(
-            F.pmod(
-                F.xxhash64(*[F.col(f.name) for f in fields]),
-                F.lit(snap["num_buckets"]),
-            ).cast("int")
-        ).collect()[0][0]
+        bucket = row.select(self._bucket_expr(snap)).collect()[0][0]
         df = self.read(buckets=[bucket])
         for col, val in zip(snap["bucket_cols"], key_values):
             df = df.filter(F.col(col) == val)
@@ -952,7 +976,7 @@ class LakeTable:
         # the table files each task will read) and satisfies the
         # clustered distribution applyInPandas requires — no second
         # exchange.
-        n_part = max(1, min(int(snap["num_buckets"]), shuffle_parts))
+        n_part = max(1, min(self._effective_buckets(snap), shuffle_parts))
         res = (
             src_evt.repartition(n_part, "_bucket")
             .groupBy("_bucket")
@@ -1130,6 +1154,127 @@ class LakeTable:
             src.unpersist()
 
     # ------------------------------------------------------- maintenance
+    def split_buckets(
+        self,
+        factor: int | None = None,
+        max_buckets: int | None = None,
+        target_file_rows: int | None = None,
+    ) -> dict[str, Any]:
+        """Grow the bucket count by ``factor`` — incrementally.
+
+        A bucket count chosen at CREATE cannot follow a table from 10^7
+        to 10^10 rows: buckets are the COW rewrite granularity, so too
+        few means huge per-merge file rewrites and too little merge
+        parallelism. A monolithic re-shuffle of the whole table into
+        ``factor * num_buckets`` new buckets is not an option at that
+        size either, so this is the linear-hashing answer (Litwin 1980;
+        the same trick behind Dynamo-style partition doubling): with
+        ``bucket = pmod(xxhash64(k), N)`` and a target of ``f*N``, the
+        keys of old bucket ``b`` land exactly in the child buckets
+        ``{b, b+N, .., b+(f-1)N}`` — splitting a bucket only ever reads
+        that one bucket's files. No cross-bucket shuffle exists even in
+        principle, and a split pointer makes it resumable:
+
+        - snapshot carries ``rebucket = {to, split_ptr}`` while a split
+          is in flight; old buckets below the pointer are rewritten,
+          the rest still live under the old modulus;
+        - routing (merge, lookup) is one comparison per key
+          (``_bucket_expr``) — the table stays fully online, merges and
+          reads interleave freely with split steps;
+        - each call splits up to ``max_buckets`` old buckets (None =
+          all remaining) as ONE commit, so per-commit work and the
+          crash-rollback unit are operator-bounded; rerunning after a
+          crash resumes at the committed pointer;
+        - when the pointer reaches the old count, ``num_buckets``
+          becomes ``to`` and the marker disappears.
+
+        ``factor`` must be an integer >= 2 (power-of-two growth is the
+        classic choice but any integer works; default 2). ``None``
+        continues an in-flight split as-is; a conflicting explicit
+        ``factor`` raises. Rewritten files are
+        key-sorted and bounded by ``target_file_rows`` (same knob as
+        ``merge``/``compact``). Reference analog: the reference rebuilds
+        its whole Milvus collection to re-shard (bear/db.py drop +
+        re-ingest); here growth is online and incremental.
+        """
+        snap = self._snapshot()
+        n = int(snap["num_buckets"])
+        rb = snap.get("rebucket")
+        if rb is None:
+            factor = 2 if factor is None else int(factor)
+            if factor < 2:
+                raise ValueError(f"split factor must be >= 2, got {factor}")
+            rb = {"to": n * factor, "split_ptr": 0}
+        elif factor is not None and int(rb["to"]) != n * int(factor):
+            raise ValueError(
+                f"split to {rb['to']} buckets already in progress "
+                f"(ptr={rb['split_ptr']}); finish it before changing factor"
+            )
+        to, ptr = int(rb["to"]), int(rb["split_ptr"])
+        f = to // n
+        k = n - ptr if max_buckets is None else max(0, min(int(max_buckets), n - ptr))
+        if k == 0:
+            return {
+                "buckets_split": 0, "split_ptr": ptr, "num_buckets": n,
+                "target_buckets": to, "complete": False, "rows_rewritten": 0,
+            }
+        if target_file_rows is None:
+            target_file_rows = int(os.environ.get("BEAR_TARGET_FILE_ROWS", "2000000"))
+        tfr = max(1, int(target_file_rows))
+        expect_version = snap["version"]
+        new_version = expect_version + 1
+        old_range = list(range(ptr, ptr + k))
+        children = [b + i * n for b in old_range for i in range(f)]
+        fmap = self._files(snap)
+        rows_rewritten = sum(
+            fi["rows"] for b in old_range for fi in fmap.get(str(b), [])
+        )
+        changed: dict[str, list[dict]] = {str(c): [] for c in children}
+        if rows_rewritten:
+            # per-ATTEMPT unique stage dir (same crash/race rationale as
+            # merge/compact; orphans are vacuum()ed)
+            stage_rel = os.path.join("data", f"s{new_version}-{uuid.uuid4().hex[:8]}")
+            stage_dir = os.path.join(self.root, stage_rel)
+            key_cols = snap["key_cols"]
+            shuffle_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            h = F.xxhash64(*[F.col(c) for c in snap["bucket_cols"]])
+            df = self._read_files(snap, old_range).withColumn(
+                "_bucket", F.pmod(h, F.lit(to)).cast("int")
+            )
+            (
+                df.withColumn("_bucket_dir", F.col("_bucket"))
+                .withColumn("_del", F.col("_deleted"))
+                .repartition(max(1, min(len(children), shuffle_parts)), "_bucket")
+                .sortWithinPartitions("_bucket_dir", "_del", *key_cols)
+                .write.option("maxRecordsPerFile", tfr)
+                .partitionBy("_bucket_dir", "_del")
+                .mode("overwrite")
+                .parquet(stage_dir)
+            )
+            staged = self._enumerate_staged(
+                stage_rel, stage_dir, children, int(snap["current_schema_version"])
+            )
+            for b, fs in staged.items():
+                changed[b] = fs
+        manifests = self._commit_manifests(snap, new_version, changed)
+        new_ptr = ptr + k
+        new_snap = {**snap, "version": new_version, "manifests": manifests}
+        new_snap.pop("files", None)
+        if new_ptr >= n:
+            new_snap["num_buckets"] = to
+            new_snap.pop("rebucket", None)
+        else:
+            new_snap["rebucket"] = {"to": to, "split_ptr": new_ptr}
+        self._write_snapshot(new_snap, expect_version=expect_version)
+        return {
+            "buckets_split": k,
+            "split_ptr": 0 if new_ptr >= n else new_ptr,
+            "num_buckets": int(new_snap["num_buckets"]),
+            "target_buckets": to,
+            "complete": new_ptr >= n,
+            "rows_rewritten": rows_rewritten,
+        }
+
     def compact(
         self,
         target_files_per_bucket: int = 1,
