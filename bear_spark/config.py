@@ -74,6 +74,8 @@ class Settings:
     max_files_per_trigger: int = 4
     compact_every: int = 0
     metrics_flush_every: int = 8
+    split_rows_per_bucket: int = 0  # 0 = no auto bucket growth
+    split_step_buckets: int = 4  # old buckets split per micro-batch
 
     # embedding (bear_spark/embedders.py; reference bear/config.py:94-113)
     embedding_provider: str = "deterministic"

@@ -75,6 +75,8 @@ def bootstrap(
                 "0": False, "false": False, "off": False,
             }.get(str(s.merge_precombine).lower()),
             target_file_rows=s.target_file_rows,
+            split_rows_per_bucket=s.split_rows_per_bucket,
+            split_step_buckets=s.split_step_buckets,
         )
         metrics = app.run_available()
     return table, metrics

@@ -1275,6 +1275,47 @@ class LakeTable:
             "rows_rewritten": rows_rewritten,
         }
 
+    def maybe_split(
+        self,
+        max_rows_per_bucket: int,
+        factor: int = 2,
+        max_buckets: int | None = None,
+    ) -> dict[str, Any] | None:
+        """Auto-growth policy: split when buckets outgrow their budget.
+
+        Buckets are the COW rewrite granularity, so a count sized for
+        10^7 rows is wrong at 10^10 — this is the self-tuning wrapper a
+        streaming applier calls after each merge. Decision is pure
+        driver-side manifest metadata (per-bucket row totals from
+        parquet footers already in the snapshot), no table scan:
+
+        - a split already in flight is continued, ``max_buckets`` old
+          buckets per call, so maintenance interleaves with ingest in
+          bounded steps instead of stalling a micro-batch;
+        - otherwise, if MEAN live rows per bucket exceeds
+          ``max_rows_per_bucket``, a new ``factor``-way split starts
+          (mean, not max: a single hot bucket is a key-skew problem the
+          salting path owns — doubling the bucket count would not fix
+          it, pmod sends the same hot key to one child).
+
+        Returns the ``split_buckets`` result, or None when the table is
+        within budget.
+        """
+        if max_rows_per_bucket <= 0:
+            return None
+        snap = self._snapshot()
+        if snap.get("rebucket"):
+            return self.split_buckets(max_buckets=max_buckets)
+        live_rows = sum(
+            fi["rows"]
+            for fs in self._files(snap).values()
+            for fi in fs
+            if not fi.get("deleted")
+        )
+        if live_rows / max(1, int(snap["num_buckets"])) <= max_rows_per_bucket:
+            return None
+        return self.split_buckets(factor=factor, max_buckets=max_buckets)
+
     def compact(
         self,
         target_files_per_bucket: int = 1,

@@ -47,6 +47,8 @@ class CDCApplier:
         merge_mode: str | None = None,
         merge_precombine: bool | None = None,
         target_file_rows: int | None = None,
+        split_rows_per_bucket: int = 0,
+        split_step_buckets: int = 4,
     ):
         self.spark = spark
         self.table = table
@@ -64,6 +66,14 @@ class CDCApplier:
         # vacuum superseded staging dirs. 0 disables.
         self.compact_every = compact_every
         self._applied_since_compact = 0
+        # auto-growth: after each applied batch, continue/start an
+        # incremental bucket split when mean live rows per bucket exceed
+        # the budget (see LakeTable.maybe_split) — at most
+        # split_step_buckets old buckets per micro-batch, so a 10^10-row
+        # stream grows its bucket count online without ever paying a
+        # monolithic rewrite or stalling a batch. 0 disables.
+        self.split_rows_per_bucket = int(split_rows_per_bucket)
+        self.split_step_buckets = max(1, int(split_step_buckets))
         self.batch_metrics: list[dict] = []
         # metrics are buffered and flushed every N batches (and at
         # stream end): one small parquet file per N micro-batches
@@ -103,6 +113,13 @@ class CDCApplier:
         if len(self._unflushed) >= self.metrics_flush_every:
             self._flush_metrics()
         if not m.get("skipped"):
+            if self.split_rows_per_bucket:
+                s = self.table.maybe_split(
+                    self.split_rows_per_bucket,
+                    max_buckets=self.split_step_buckets,
+                )
+                if s:
+                    m["buckets_split"] = s["buckets_split"]
             self._applied_since_compact += 1
             if self.compact_every and self._applied_since_compact >= self.compact_every:
                 self.table.compact()

@@ -169,6 +169,55 @@ def test_changes_feed_is_silent_across_a_split(spark, tmp_path):
     assert tbl.changes(v_before).count() == 0
 
 
+def test_maybe_split_policy(spark, tmp_path):
+    """maybe_split is a pure-metadata decision: within budget → None;
+    over budget → starts a bounded split; in-flight → continues it
+    regardless of the row budget."""
+    tbl = _mk(spark, tmp_path / "t6", num_buckets=4)
+    rows = _batch_a(40)  # 120 live rows over 4 buckets = 30/bucket
+    tbl.merge(_events(spark, rows))
+
+    assert tbl.maybe_split(max_rows_per_bucket=1000) is None
+    assert tbl._snapshot()["num_buckets"] == 4
+
+    out = tbl.maybe_split(max_rows_per_bucket=10, max_buckets=1)
+    assert out is not None and out["complete"] is False
+    # in-flight split continues even though a huge budget would say stop
+    out = tbl.maybe_split(max_rows_per_bucket=10**9)
+    assert out is not None and out["complete"] is True
+    assert tbl._snapshot()["num_buckets"] == 8
+    assert _state(tbl) == _lww_oracle(spark, rows)
+
+
+def test_applier_auto_splits_under_growth(spark, tmp_path):
+    """A streaming applier with split_rows_per_bucket grows the bucket
+    count online as the table crosses the budget, and the final state
+    still equals the replay oracle."""
+    from bear_spark import oracle
+    from bear_spark.events import change_events
+    from bear_spark.schema import KEY_COLS, TRANSCRIPT_SCHEMA
+    from bear_spark.sources.changelog import write_changelog
+    from bear_spark.streaming import CDCApplier
+
+    ev = change_events(spark, 4000, n_convs=40, seed=7)
+    log_dir = str(tmp_path / "log")
+    write_changelog(ev, log_dir, n_chunks=4)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA,
+        key_cols=KEY_COLS, num_buckets=2,
+    )
+    app = CDCApplier(
+        spark, tbl, log_dir, str(tmp_path / "ckpt"), str(tmp_path / "metrics"),
+        max_files_per_trigger=1,
+        split_rows_per_bucket=200, split_step_buckets=1,
+    )
+    metrics = app.run_available()
+    assert any(m.get("buckets_split") for m in metrics)
+    snap = tbl._snapshot()
+    assert snap["num_buckets"] > 2 or "rebucket" in snap
+    oracle.assert_states_equal(tbl.read().toPandas(), oracle.replay(ev.toPandas()))
+
+
 def test_tombstones_travel_with_their_keys(spark, tmp_path):
     tbl = _mk(spark, tmp_path / "t5", num_buckets=2)
     tbl.merge(_events(spark, [("kx", 0, "v", "2024-01-01 00:00:00", "I", 1)]))

@@ -27,6 +27,13 @@ def test_settings_defaults_and_env_precedence(tmp_path):
     s = Settings.load(env_file=str(envf), env={"BEAR_NUM_BUCKETS": "8"})
     assert s.num_buckets == 8 and s.drop_late is True
 
+    # auto-growth knobs coerce like every other int field
+    s = Settings.load(
+        env_file=str(envf),
+        env={"BEAR_SPLIT_ROWS_PER_BUCKET": "5000000", "BEAR_SPLIT_STEP_BUCKETS": "8"},
+    )
+    assert s.split_rows_per_bucket == 5_000_000 and s.split_step_buckets == 8
+
     cfg = s.embedding_config
     assert cfg["provider"] == "deterministic" and cfg["query_prefix"] == "query: "
 
