@@ -149,7 +149,10 @@ def gated_run(cpus: int, n_events: int, n_batches: int) -> tuple[dict | None, di
 
 
 def main() -> None:
-    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "32000000"))
+    # 16M default: a local[2] run is ~2 min, so one N or 4N sample fits
+    # inside the brief (2-4 min) clean windows this host actually opens;
+    # 32M-event runs measured smoother but NEVER landed a clean bracket
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "16000000"))
     n_batches = int(os.environ.get("BENCH_CDC_BATCHES", "4"))
     k_pairs = int(os.environ.get("BENCH_CLEAN_PAIRS", "2"))
     max_attempts = int(os.environ.get("BENCH_MAX_ATTEMPTS", "12"))
@@ -201,28 +204,49 @@ def main() -> None:
                 f"non-deterministic replay at {events}: {key} != {integrity[events]}"
             )
 
+    # Clean N and 4N samples are banked INDEPENDENTLY and paired in
+    # chronological order afterwards. The old pair-at-a-time loop threw
+    # away a certified-clean N run whenever the 4N side hit a stall —
+    # but each run carries its own in-situ probe bracket, so any clean
+    # N sample is a valid partner for any clean 4N sample (identical
+    # staged input, fresh JVM per run). With clean windows often
+    # shorter than one N+4N sequence, per-level banking is the
+    # difference between landing evidence and rc=2. Budget accounting:
+    # gate-skipped attempts (host known-dirty, nothing executed) cost
+    # only probe time and do NOT consume the attempt budget; a wall
+    # budget bounds the whole hunt instead.
+    wall_budget = float(os.environ.get("BENCH_WALL_BUDGET_SEC", "5400"))
+    t_start = time.time()
+    clean_lvl: dict[int, list[dict]] = {N: [], N4: []}
+    executed = 0
     attempt = 0
-    while len(pairs) < k_pairs and attempt < max_attempts:
+    while (
+        (len(clean_lvl[N]) < k_pairs or len(clean_lvl[N4]) < k_pairs)
+        and executed < max_attempts
+        and time.time() - t_start < wall_budget
+    ):
         attempt += 1
-        rN, tN_tele = gated_run(N, n_events, n_batches)
-        telemetry.append(tN_tele)
-        print(f"attempt {attempt}: local[{N}] {tN_tele['events_per_sec']:,.0f} ev/s "
-              f"clean={tN_tele['clean']} skipped={tN_tele.get('skipped', False)} "
-              f"probes={tN_tele.get('pre')}|{tN_tele.get('post')}", flush=True)
-        if rN is None:
+        # run whichever side is behind; N first on ties (it is the
+        # longer run, so it should get the freshest part of a window)
+        cpus = N if len(clean_lvl[N]) <= len(clean_lvl[N4]) else N4
+        r, tele = gated_run(cpus, n_events, n_batches)
+        telemetry.append(tele)
+        print(f"attempt {attempt}: local[{cpus}] {tele['events_per_sec']:,.0f} ev/s "
+              f"clean={tele['clean']} skipped={tele.get('skipped', False)} "
+              f"probes={tele.get('pre')}|{tele.get('post')}", flush=True)
+        if tele.get("skipped"):
             continue
-        check_integrity(rN)
-        r4, t4_tele = gated_run(N4, n_events, n_batches)
-        telemetry.append(t4_tele)
-        print(f"attempt {attempt}: local[{N4}] {t4_tele['events_per_sec']:,.0f} ev/s "
-              f"clean={t4_tele['clean']} skipped={t4_tele.get('skipped', False)} "
-              f"probes={t4_tele.get('pre')}|{t4_tele.get('post')}", flush=True)
-        if r4 is None:
+        executed += 1
+        if r is None:
             continue
-        check_integrity(r4)
+        check_integrity(r)
+        clean_lvl[cpus].append(r)
+        print(f"attempt {attempt}: CLEAN local[{cpus}] sample "
+              f"({len(clean_lvl[N])}xN, {len(clean_lvl[N4])}x4N banked)", flush=True)
+    for rN, r4 in zip(clean_lvl[N], clean_lvl[N4]):
         eff = (r4["cdc_events_per_sec"] / rN["cdc_events_per_sec"]) / (N4 / N)
         pairs.append({"N": rN, "N4": r4, "efficiency": round(eff, 3)})
-        print(f"attempt {attempt}: CLEAN PAIR efficiency={eff:.3f}", flush=True)
+        print(f"CLEAN PAIR efficiency={eff:.3f}", flush=True)
 
     if not pairs:
         print("NO clean pairs landed — host degraded for the whole window; "
