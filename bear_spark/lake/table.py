@@ -909,7 +909,12 @@ class LakeTable:
         if precombine is None:
             share_thr = float(os.environ.get("BEAR_PRECOMBINE_SHARE", "0.5"))
             min_rows = int(os.environ.get("BEAR_PRECOMBINE_MIN_ROWS", "100000"))
-            last = snap["lineage"][-1] if snap.get("lineage") else {}
+            # last MERGE entry: maintenance commits (splits) in between
+            # must not erase the previous batch's skew signal
+            last = next(
+                (e for e in reversed(snap.get("lineage", ())) if "rows_in" in e),
+                {},
+            )
             precombine = (
                 last.get("rows_in", 0) >= min_rows
                 and last.get("max_key_share", 0.0) >= share_thr
@@ -1197,11 +1202,21 @@ class LakeTable:
         its whole Milvus collection to re-shard (bear/db.py drop +
         re-ingest); here growth is online and incremental.
         """
+        if max_buckets is not None and int(max_buckets) < 1:
+            raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
         snap = self._snapshot()
         n = int(snap["num_buckets"])
         rb = snap.get("rebucket")
         if rb is None:
-            factor = 2 if factor is None else int(factor)
+            if factor is None:
+                # continue-only call with nothing in flight: a no-op, so
+                # a crash-resume loop that overruns the completed split
+                # cannot start doubling the table again
+                return {
+                    "buckets_split": 0, "split_ptr": 0, "num_buckets": n,
+                    "target_buckets": n, "complete": True, "rows_rewritten": 0,
+                }
+            factor = int(factor)
             if factor < 2:
                 raise ValueError(f"split factor must be >= 2, got {factor}")
             rb = {"to": n * factor, "split_ptr": 0}
@@ -1212,12 +1227,7 @@ class LakeTable:
             )
         to, ptr = int(rb["to"]), int(rb["split_ptr"])
         f = to // n
-        k = n - ptr if max_buckets is None else max(0, min(int(max_buckets), n - ptr))
-        if k == 0:
-            return {
-                "buckets_split": 0, "split_ptr": ptr, "num_buckets": n,
-                "target_buckets": to, "complete": False, "rows_rewritten": 0,
-            }
+        k = n - ptr if max_buckets is None else min(int(max_buckets), n - ptr)
         if target_file_rows is None:
             target_file_rows = int(os.environ.get("BEAR_TARGET_FILE_ROWS", "2000000"))
         tfr = max(1, int(target_file_rows))
@@ -1225,7 +1235,17 @@ class LakeTable:
         new_version = expect_version + 1
         old_range = list(range(ptr, ptr + k))
         children = [b + i * n for b in old_range for i in range(f)]
-        fmap = self._files(snap)
+        # only the buckets being split hydrate their manifests — the
+        # same touched-only rule as merge; O(k) metadata per step, not
+        # O(num_buckets)
+        if "manifests" in snap:
+            fmap = {
+                str(b): self._load_manifest(snap["manifests"][str(b)])
+                for b in old_range
+                if str(b) in snap["manifests"]
+            }
+        else:
+            fmap = snap["files"]
         rows_rewritten = sum(
             fi["rows"] for b in old_range for fi in fmap.get(str(b), [])
         )
@@ -1260,6 +1280,19 @@ class LakeTable:
         new_ptr = ptr + k
         new_snap = {**snap, "version": new_version, "manifests": manifests}
         new_snap.pop("files", None)
+        # splits are maintenance commits, durable in table history like
+        # merge metrics (an operator explaining a latency bump must see
+        # which versions were split steps, not just that files moved)
+        new_snap["lineage"] = (
+            snap["lineage"]
+            + [{
+                "op": "split", "version": new_version,
+                "buckets_split": k, "rows_rewritten": rows_rewritten,
+                "split_ptr": new_ptr if new_ptr < n else 0,
+                "num_buckets": to if new_ptr >= n else n,
+                "target_buckets": to,
+            }]
+        )[-200:]
         if new_ptr >= n:
             new_snap["num_buckets"] = to
             new_snap.pop("rebucket", None)

@@ -97,6 +97,7 @@ class CDCApplier:
         "dedup_drops",
         "buckets_touched",
         "max_key_rows",
+        "buckets_split",
     )
 
     # -- foreachBatch body -------------------------------------------------
@@ -108,10 +109,7 @@ class CDCApplier:
             target_file_rows=self.target_file_rows,
         )
         m["epoch_id"] = epoch_id
-        self.batch_metrics.append(m)
-        self._unflushed.append(m)
-        if len(self._unflushed) >= self.metrics_flush_every:
-            self._flush_metrics()
+        m["buckets_split"] = 0
         if not m.get("skipped"):
             if self.split_rows_per_bucket:
                 s = self.table.maybe_split(
@@ -125,6 +123,13 @@ class CDCApplier:
                 self.table.compact()
                 self.table.vacuum()
                 self._applied_since_compact = 0
+        # metrics buffer AFTER maintenance: buckets_split must be on the
+        # row before a flush can write it (the split itself is separately
+        # durable as an op=split entry in the table lineage)
+        self.batch_metrics.append(m)
+        self._unflushed.append(m)
+        if len(self._unflushed) >= self.metrics_flush_every:
+            self._flush_metrics()
 
     def _flush_metrics(self) -> None:
         """Driver-side parquet append of the buffered metric rows — a

@@ -151,11 +151,25 @@ def test_split_factor_validation(spark, tmp_path):
     tbl.merge(_events(spark, _batch_a(8)))
     with pytest.raises(ValueError, match=">= 2"):
         tbl.split_buckets(factor=1)
+    with pytest.raises(ValueError, match="max_buckets"):
+        tbl.split_buckets(factor=2, max_buckets=0)
+    # continue-only call with nothing in flight is a no-op, never a start
+    out = tbl.split_buckets()
+    assert out["buckets_split"] == 0 and out["complete"] is True
+    assert tbl._snapshot()["num_buckets"] == 2
     tbl.split_buckets(factor=4, max_buckets=1)
     with pytest.raises(ValueError, match="in progress"):
         tbl.split_buckets(factor=2, max_buckets=1)
     out = tbl.split_buckets(factor=4)  # matching factor may continue
     assert out["complete"] is True and out["num_buckets"] == 8
+    # a crash-resume loop overrunning the completed split stays a no-op
+    out = tbl.split_buckets()
+    assert out["buckets_split"] == 0 and tbl._snapshot()["num_buckets"] == 8
+    # split steps are durable table history (op=split lineage entries)
+    split_entries = [e for e in tbl.history() if e.get("op") == "split"]
+    assert len(split_entries) == 2
+    assert sum(e["buckets_split"] for e in split_entries) == 2
+    assert split_entries[-1]["num_buckets"] == 8
 
 
 def test_changes_feed_is_silent_across_a_split(spark, tmp_path):
