@@ -232,6 +232,43 @@ def test_applier_auto_splits_under_growth(spark, tmp_path):
     oracle.assert_states_equal(tbl.read().toPandas(), oracle.replay(ev.toPandas()))
 
 
+def test_split_upgrades_evolved_schema_files(spark, tmp_path):
+    """A split reads per-file physical schemas and stages at the CURRENT
+    schema version, so files written before an evolution come out of the
+    split upgraded (and mixed-version buckets become single-version)."""
+    from bear_spark.schema import KEY_COLS, TRANSCRIPT_SCHEMA
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t7"), TRANSCRIPT_SCHEMA,
+        key_cols=KEY_COLS, num_buckets=2,
+    )
+    v0 = spark.createDataFrame(
+        [("c1", 0, "user", "hello", None, "2024-01-01 00:00:01", "I", 1)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string, op string, lsn long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tbl.merge(v0)
+    # evolution: a new column arrives mid-stream
+    v1 = spark.createDataFrame(
+        [("c2", 0, "assistant", "ran", "bash", "2024-01-01 00:00:02", "I", 2, 7)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string, op string, lsn long, retries int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tbl.merge(v1)
+    assert tbl.snapshot["current_schema_version"] == 1
+
+    out = tbl.split_buckets(factor=2)
+    assert out["complete"] is True
+    snap = tbl._snapshot()
+    vers = {
+        int(fi["schema_version"])
+        for fs in tbl._files(snap).values()
+        for fi in fs
+    }
+    assert vers == {1}  # every rewritten file upgraded to the current schema
+    got = tbl.read().orderBy("conv_id").toPandas()
+    assert list(got["text"]) == ["hello", "ran"]
+    assert got["retries"].isna().tolist() == [True, False]
+
+
 def test_tombstones_travel_with_their_keys(spark, tmp_path):
     tbl = _mk(spark, tmp_path / "t5", num_buckets=2)
     tbl.merge(_events(spark, [("kx", 0, "v", "2024-01-01 00:00:00", "I", 1)]))
