@@ -83,8 +83,25 @@ def main() -> None:
     # in-situ brackets, and waiting would burn the plateau window
     os.environ.setdefault("BENCH_CLEAN_WAIT_SEC", "0")
 
+    # accumulate across invocations: an earlier bank's qualified pairs
+    # are evidence too (same staged input, same code identity within a
+    # round) — a later, choppier window must strengthen the bank, never
+    # clobber it. PLATEAU_RESET=1 starts fresh.
     pairs: list[dict] = []
     rejected: list[dict] = []
+    bank_path = os.path.join(REPO, "BENCH", "plateau_pairs.json")
+    if os.environ.get("PLATEAU_RESET", "0") != "1" and os.path.exists(bank_path):
+        try:
+            with open(bank_path) as f:
+                prior = json.load(f)
+            if prior.get("events") == n_events and prior.get("batches") == n_batches:
+                pairs = list(prior.get("pairs", []))
+                rejected = list(prior.get("rejected", []))
+                if pairs:
+                    print(f"resuming bank: {len(pairs)} qualified pairs carried",
+                          flush=True)
+        except (OSError, ValueError):
+            pass
     integrity: tuple | None = None
     attempt = 0
     while len(pairs) < k_pairs and attempt < max_attempts:
