@@ -61,6 +61,15 @@ def main() -> None:
 
     MIN_FIRST = float(os.environ.get("BENCH_MIN_FIRST_GBS", "1.0"))
     MIN_STEADY = float(os.environ.get("BENCH_MIN_STEADY_GBS", "5.0"))
+    # middle evidence tier (same rule as run_plateau_pairs): a batch
+    # whose pre/post brackets sit in one narrow band measured a
+    # consistent host even when that host is in its degraded plateau
+    PLATEAU_FLOOR = float(os.environ.get("BENCH_PLATEAU_FLOOR_GBS", "0.1"))
+    PLATEAU_BAND = float(os.environ.get("BENCH_PLATEAU_BAND", "1.5"))
+    # opt-in online bucket growth during the soak (proves split steps
+    # interleave with 10^8+-event ingest): rows-per-bucket budget, 0=off
+    split_budget = int(os.environ.get("SOAK_SPLIT_ROWS_PER_BUCKET", "0"))
+    split_step = int(os.environ.get("SOAK_SPLIT_STEP_BUCKETS", "8"))
 
     mem = os.environ.get("BENCH_DRIVER_MEM", "48g")
     spark = get_spark(
@@ -133,6 +142,14 @@ def main() -> None:
             and post["first_touch_gbs"] >= MIN_FIRST
             and post["steady_gbs"] >= MIN_STEADY
         )
+        f_lo = min(pre["first_touch_gbs"], post["first_touch_gbs"])
+        f_hi = max(pre["first_touch_gbs"], post["first_touch_gbs"])
+        stable = (
+            f_lo >= PLATEAU_FLOOR
+            and pre["steady_gbs"] >= MIN_STEADY
+            and post["steady_gbs"] >= MIN_STEADY
+            and f_hi <= PLATEAU_BAND * max(f_lo, 1e-9)
+        )
         per_batch.append(
             {
                 "batch": mb,
@@ -148,9 +165,20 @@ def main() -> None:
                 "probe_pre": pre,
                 "probe_post": post,
                 "clean": clean,
+                "plateau_stable": stable,
             }
         )
         print(json.dumps(per_batch[-1]), flush=True)
+        if split_budget:
+            t0 = time.time()
+            s = table.maybe_split(split_budget, max_buckets=split_step)
+            if s and s["buckets_split"]:
+                maint_wall += time.time() - t0
+                per_batch[-1]["buckets_split"] = s["buckets_split"]
+                tail = "" if s["complete"] else f" (ptr {s['split_ptr']})"
+                print(f"# split step after batch {mb}: {s['buckets_split']} "
+                      f"buckets -> layout {s['num_buckets']}{tail} "
+                      f"in {time.time() - t0:.1f}s", flush=True)
         if compact_every and applied % compact_every == 0:
             t0 = time.time()
             table.compact()
@@ -177,6 +205,8 @@ def main() -> None:
 
     clean_batches = [b for b in per_batch if b["clean"]]
     clean_wall = sum(b["wall_sec"] for b in clean_batches)
+    stable_batches = [b for b in per_batch if b["plateau_stable"]]
+    stable_wall = sum(b["wall_sec"] for b in stable_batches)
     totals = {
         "events": sum(b["rows_in"] for b in per_batch),
         "batches": len(per_batch),
@@ -188,6 +218,14 @@ def main() -> None:
             if clean_wall
             else None
         ),
+        "plateau_stable_batches": len(stable_batches),
+        "plateau_stable_events_per_sec": (
+            round(sum(b["rows_in"] for b in stable_batches) / stable_wall, 1)
+            if stable_wall
+            else None
+        ),
+        "buckets_split_total": sum(b.get("buckets_split", 0) for b in per_batch),
+        "final_num_buckets": int(table.snapshot["num_buckets"]),
         "maintenance_wall_sec": round(maint_wall, 1),
         "dedup_drops": sum(b["dedup_drops"] for b in per_batch),
         "late_events": sum(b["late_events"] for b in per_batch),
@@ -206,7 +244,8 @@ def main() -> None:
         f"| {b['target_rows_read']:,} | {b['rows_written']:,} "
         f"| {b['probe_pre']['first_touch_gbs']}/{b['probe_pre']['steady_gbs']} "
         f"→ {b['probe_post']['first_touch_gbs']}/{b['probe_post']['steady_gbs']} "
-        f"| {'yes' if b['clean'] else 'NO'} |"
+        f"| {'yes' if b['clean'] else 'NO'} "
+        f"| {'yes' if b['plateau_stable'] else 'NO'} |"
         for b in per_batch
     )
     md = f"""
@@ -227,15 +266,20 @@ Sustained MERGE-apply **{totals["events_per_sec"]:,.0f} events/s** over
 (brackets ≥ {MIN_FIRST} GB/s first-touch and ≥ {MIN_STEADY} GB/s
 steady — the full pre/post probes are printed per batch below so the
 reader can adjudicate each one) the sustained rate is
-**{totals["clean_events_per_sec"] or "n/a"} events/s** (maintenance
-passes add {totals["maintenance_wall_sec"]}s, untimed generation
-excluded); {totals["dedup_drops"]:,} LWW dedup drops,
+**{totals["clean_events_per_sec"] or "n/a"} events/s**, and over the
+{totals["plateau_stable_batches"]}/{totals["batches"]} plateau-stable
+batches (brackets in one ≤{PLATEAU_BAND}x band above
+{PLATEAU_FLOOR} GB/s — internally consistent host, same rule as the
+plateau pairs) it is
+**{totals["plateau_stable_events_per_sec"] or "n/a"} events/s**
+(maintenance passes add {totals["maintenance_wall_sec"]}s, untimed
+generation excluded); {totals["dedup_drops"]:,} LWW dedup drops,
 {totals["late_events"]:,} late-beyond-watermark events counted,
 {totals["tombstones_expired"]:,} tombstones expired, final table
 {totals["final_rows"]:,} rows.
 
-| batch | wall (s) | rows in | dedup drops | target rows read | rows written | probes pre→post (first/steady GB/s) | clean |
-|---|---|---|---|---|---|---|---|
+| batch | wall (s) | rows in | dedup drops | target rows read | rows written | probes pre→post (first/steady GB/s) | clean | stable |
+|---|---|---|---|---|---|---|---|---|
 {rows}
 
 Per-batch wall time tracks the copy-on-write rewrite of an ever-larger
