@@ -241,7 +241,14 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
 
     # untimed warmup: one small merge into a throwaway table triggers
     # JIT/codegen/classloading so the timed loop measures SUSTAINED
-    # apply throughput (the metric), not JVM cold start
+    # apply throughput (the metric), not JVM cold start. Deliberately
+    # SMALL ($BENCH_WARM_EVENTS, default 50k): an A/B at local[8]/16M
+    # measured a full-batch (4M-event) warmup 13% SLOWER end-to-end
+    # (44.4s vs 39.4s, sys 20.1s vs 17.3s) — the big warmup drains the
+    # kernel's zeroed-page pool right before t0, so the first timed
+    # batch pays a reclaim transient that outweighs any arena
+    # pre-faulting benefit (the MALLOC_* retain knobs already amortize
+    # arena faults across the later timed batches either way).
     warm = LakeTable.create(
         spark,
         os.path.join(workdir, "warm"),
@@ -250,7 +257,8 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
         num_buckets=num_buckets,
         overwrite=True,
     )
-    warm.merge(change_events(spark, 50_000, n_source_partitions=32))
+    warm_events = int(os.environ.get("BENCH_WARM_EVENTS", "50000"))
+    warm.merge(change_events(spark, warm_events, n_source_partitions=32))
     shutil.rmtree(os.path.join(workdir, "warm"), ignore_errors=True)
 
     # in-situ probe brackets: taken INSIDE this process, tight around the
