@@ -64,6 +64,28 @@ class ConcurrentCommit(RuntimeError):
     pass
 
 
+def merge_partition_count(
+    buckets: int, shuffle_parts: int, default_parallelism: int
+) -> int:
+    """Task count for the bucket-clustered merge shuffle.
+
+    ``spark.sql.shuffle.partitions`` tracks ~2x the session's core
+    count, so $BEAR_MERGE_TASKS_PER_CORE defaults to 2 — bit-identical
+    task counts to the banked scaling evidence. Raising it buys more
+    task WAVES per core (finer load balancing when bucket sizes are
+    heterogeneous: local[8] gets 2 waves at the default where local[2]
+    gets 4), at the cost of more fixed per-task overhead; an A/B at
+    local[8]/16M events on THIS repo's uniform-bucket benchmark
+    measured 4-vs-2 dead neutral (39.5s mean both), so the default
+    stays at the measured configuration. Always capped by the bucket
+    count (a bucket never splits across tasks — the kernel's
+    clustered-distribution requirement).
+    """
+    tpc = int(os.environ.get("BEAR_MERGE_TASKS_PER_CORE", "2"))
+    want = max(shuffle_parts, tpc * max(1, default_parallelism))
+    return max(1, min(buckets, want))
+
+
 def _merge_ranges(ranges: list[list[int]]) -> list[list[int]]:
     """Merge overlapping/adjacent [lo, hi] offset ranges."""
     out: list[list[int]] = []
@@ -981,7 +1003,11 @@ class LakeTable:
         # the table files each task will read) and satisfies the
         # clustered distribution applyInPandas requires — no second
         # exchange.
-        n_part = max(1, min(self._effective_buckets(snap), shuffle_parts))
+        n_part = merge_partition_count(
+            self._effective_buckets(snap),
+            shuffle_parts,
+            self.spark.sparkContext.defaultParallelism,
+        )
         res = (
             src_evt.repartition(n_part, "_bucket")
             .groupBy("_bucket")
@@ -1131,7 +1157,11 @@ class LakeTable:
                 "_op",
                 "_elsn",
             )
-            n_part = max(1, min(len(touched), shuffle_parts))
+            n_part = merge_partition_count(
+                len(touched),
+                shuffle_parts,
+                self.spark.sparkContext.defaultParallelism,
+            )
             unioned = src_evt.unionByName(tgt_evt).repartition(n_part, "_bucket")
             row = F.struct(*[F.col(c) for c in unioned.columns])
             seq_s = F.struct(F.col(seq_col), F.col("_elsn"))

@@ -614,3 +614,27 @@ def test_compact_preserves_target_file_rows_chunking(spark, tmp_path):
     assert all(fi["rows"] <= 100 for fi in live), [fi["rows"] for fi in live]
     assert len(live) == 3
     assert tbl.read().count() == 300
+
+
+def test_merge_partition_count_gives_parallelism_independent_waves(monkeypatch):
+    """Task waves must not get coarser as cores grow: at 2x-cores
+    shuffle-partition defaults, local[8] used to get 2 waves where
+    local[2] got 4, turning bucket-size variance into a straggler tail
+    on exactly the leg the N->4N scaling rule measures."""
+    from bear_spark.lake.table import merge_partition_count
+
+    monkeypatch.delenv("BEAR_MERGE_TASKS_PER_CORE", raising=False)
+    # default (2 tasks/core) matches the banked-evidence task counts
+    # wherever shuffle partitions track 2x cores
+    assert merge_partition_count(64, 8, 2) == 8
+    assert merge_partition_count(64, 16, 8) == 16
+    # raising the knob equalizes wave count across parallelism levels
+    monkeypatch.setenv("BEAR_MERGE_TASKS_PER_CORE", "4")
+    assert merge_partition_count(64, 8, 2) == 8
+    assert merge_partition_count(64, 16, 8) == 32
+    # a bucket never splits across tasks: bucket count caps
+    assert merge_partition_count(4, 16, 8) == 4
+    assert merge_partition_count(64, 64, 32) == 64
+    # never below one task; defensive on zero parallelism
+    monkeypatch.delenv("BEAR_MERGE_TASKS_PER_CORE", raising=False)
+    assert merge_partition_count(1, 8, 0) == 1
