@@ -353,6 +353,63 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
     return out
 
 
+def scaling_evidence() -> dict | None:
+    """Summary of the banked N→4N scaling-efficiency pairs (the
+    BASELINE.json north-rule criterion), measured by the probe-gated
+    harnesses in BENCH/ and accumulated across invocations. Inlined
+    here so the one-line bench JSON carries the scaling evidence next
+    to the throughput number; full pair tables, probe brackets, and
+    qualification rules live in BENCH/BASELINE.md and the telemetry
+    JSON files."""
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _median(effs: list) -> float:
+        return round(effs[len(effs) // 2] if len(effs) % 2
+                     else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+
+    def _bank(path: str) -> dict | None:
+        try:
+            with open(os.path.join(here, "BENCH", path)) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            return None
+        qualified = [p for p in d.get("pairs", ()) if p.get("qualified", True)]
+        effs = sorted(p["efficiency"] for p in qualified)
+        if not effs:
+            return None
+        out = {
+            "pairs": len(effs),
+            "best": effs[-1],
+            "median": _median(effs),
+            "events": d.get("events"),
+            "source": f"BENCH/{path}",
+        }
+        # a 4N/N user-CPU ratio well above ~1 is the intra-run hypervisor
+        # stall signature (kernel fault-handler time leaking into one leg);
+        # the filtered median over low-ratio pairs is the number BASELINE.md
+        # headlines because it drops samples the band check can't catch
+        low_stall = sorted(
+            p["efficiency"] for p in qualified
+            if p.get("user_cpu_ratio") is not None and p["user_cpu_ratio"] <= 1.2
+        )
+        if low_stall:
+            out["stall_filtered"] = {"pairs": len(low_stall),
+                                     "median": _median(low_stall),
+                                     "max_user_cpu_ratio": 1.2}
+        return out
+
+    threads = _bank("plateau_pairs.json")
+    cluster = _bank("cluster_scaling_telemetry.json")
+    if not threads and not cluster:
+        return None
+    out = {"rule": "throughput scaling efficiency >= 0.8 from N to 4N (N=local[2] / 2 executors, 4N=local[8] / 8 executors)"}
+    if threads:
+        out["thread_pairs"] = threads
+    if cluster:
+        out["cluster_pairs"] = cluster  # spark-submit local-cluster, separate executor JVMs
+    return out
+
+
 def main() -> None:
     from bear_spark.queries import REGISTRY
     from bear_spark.session import get_spark
@@ -423,6 +480,9 @@ def main() -> None:
                 # window when both probes show steady >= ~5 GB/s and
                 # first-touch >= ~1 GB/s
                 "host_probe": {"pre": cdc["probe_pre"], "post": cdc["probe_post"]},
+                # banked N→4N scaling-efficiency evidence (probe-gated
+                # harnesses in BENCH/; None until a bank exists)
+                "scaling": scaling_evidence(),
             }
         )
     )
