@@ -53,6 +53,18 @@ MIN_FIRST_GBS = float(os.environ.get("PLATEAU_MIN_FIRST_GBS", "0.1"))
 BAND = float(os.environ.get("PLATEAU_BAND", "1.5"))
 
 
+def _median(effs: list) -> float | None:
+    """True median (average of middle two for even n) — must agree with
+    bench.scaling_evidence._median over the same bank."""
+    if not effs:
+        return None
+    effs = sorted(effs)
+    mid = len(effs) // 2
+    return round(
+        effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2, 3
+    )
+
+
 def pair_brackets(rN: dict, r4: dict) -> list[dict]:
     return [rN["probe_pre"], rN["probe_post"], r4["probe_pre"], r4["probe_post"]]
 
@@ -136,9 +148,7 @@ def main() -> None:
         "min_first_gbs": MIN_FIRST_GBS,
         "pairs": pairs, "rejected": rejected,
         "best_efficiency": max((p["efficiency"] for p in pairs), default=None),
-        "median_efficiency": (
-            sorted(p["efficiency"] for p in pairs)[len(pairs) // 2] if pairs else None
-        ),
+        "median_efficiency": _median([p["efficiency"] for p in pairs]),
         "generated": datetime.now(timezone.utc).isoformat(timespec="seconds"),
     }
     with open(os.path.join(REPO, "BENCH", "plateau_pairs.json"), "w") as f:

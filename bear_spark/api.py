@@ -29,7 +29,7 @@ from urllib.parse import parse_qs
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bear_spark.embedders import TEXT_QUERY, Embedder
+from bear_spark.embedders import TEXT_QUERY, Embedder, embed_query
 from bear_spark.search import SearchEngine
 
 _REASONS = {200: "OK", 400: "Bad Request", 404: "Not Found", 500: "Internal Server Error"}
@@ -87,7 +87,12 @@ class BearApi:
         query = params.get("query")
         if not query:
             raise ApiError(400, "missing required parameter: query")
-        return self.embedder.embed(query, TEXT_QUERY)[0]
+        # degrade-to-empty on provider failure (reference:
+        # bear/embedding.py:207-213): an empty vector flows into
+        # SearchEngine, which returns an empty result set, which the
+        # handlers surface as 404 — never a 500 because the embedding
+        # sidecar hiccuped
+        return embed_query(query, self.embedder)
 
     def _search_resource(self, params: dict) -> list[dict]:
         """reference: bear/api/main.py:89-138."""

@@ -133,18 +133,21 @@ def make_apply_kernel(
         if pa.cpu_count() != 1:
             pa.set_cpu_count(1)
             pa.set_io_thread_count(1)
-            # retain freed arena pages across merge batches (workers are
-            # long-lived under spark.python.worker.reuse): jemalloc's
-            # default ~1s dirty-page decay hands pages back to the OS
-            # between batches, so every batch re-faults its working set
-            # — a steady page-fault tax per batch, and a cliff on hosts
-            # with slow fault paths. BEAR_JEMALLOC_RETAIN=0 opts out
-            # (memory-tight executors); no-op on non-jemalloc builds.
-            if os.environ.get("BEAR_JEMALLOC_RETAIN", "1") != "0":
-                try:
-                    pa.jemalloc_set_decay_ms(-1)
-                except (NotImplementedError, AttributeError):
-                    pass
+        # retain freed arena pages across merge batches (workers are
+        # long-lived under spark.python.worker.reuse): jemalloc's
+        # default ~1s dirty-page decay hands pages back to the OS
+        # between batches, so every batch re-faults its working set
+        # — a steady page-fault tax per batch, and a cliff on hosts
+        # with slow fault paths. Independent of the thread-pool
+        # normalization above (a worker whose pool already defaults to
+        # one thread still wants retention). BEAR_JEMALLOC_RETAIN=0
+        # opts out (memory-tight executors); no-op on non-jemalloc
+        # builds.
+        if os.environ.get("BEAR_JEMALLOC_RETAIN", "1") != "0":
+            try:
+                pa.jemalloc_set_decay_ms(-1)
+            except (NotImplementedError, AttributeError):
+                pass
 
         bucket = int(pdf["_bucket"].iloc[0])
         precombined = "_cnt" in pdf.columns
@@ -177,7 +180,10 @@ def make_apply_kernel(
                         "mts": None if pd.isna(mts) else mts.isoformat(),
                     }
                 )
-            key_counts = pdf.groupby(key_cols[0], sort=False)["_cnt"].sum()
+            # dropna=False: a null-key flood contends in the kernel like
+            # any hot key (it LWW-collapses below) and must count toward
+            # the adaptive pre-combine skew signal
+            key_counts = pdf.groupby(key_cols[0], sort=False, dropna=False)["_cnt"].sum()
             max_key_rows = int(key_counts.max()) if len(key_counts) else 0
             pdf = pdf.drop(
                 columns=["_sp", "_segment", "_cnt", "_late_cnt", "_lo", "_hi", "_mts"]
@@ -208,7 +214,7 @@ def make_apply_kernel(
             # the driver records max over buckets in lineage and
             # auto-enables map-side pre-combine on the NEXT batch when a
             # hot key persists
-            vc = pdf[key_cols[0]].value_counts()
+            vc = pdf[key_cols[0]].value_counts(dropna=False)
             max_key_rows = int(vc.iloc[0]) if len(vc) else 0
             pdf = pdf.drop(columns=["_sp", "_off", "_segment"])
             if drop_late and wm_iso:

@@ -740,9 +740,13 @@ class LakeTable:
             if st is not None:
                 st, max_key_rows, used_precombine, kernel_stats = st
         else:
+            # precombine is implicit in SQL mode: Catalyst plans the
+            # max_by LWW aggregation with a map-side partial_max_by
+            # before the exchange, which IS the pre-combine the arrow
+            # kernel opts into explicitly
             st = self._merge_sql_job(
                 src, snap, new_schema, stage_dir, shuffle_parts, has_env, wm,
-                key_cols, seq_col,
+                key_cols, seq_col, target_file_rows=target_file_rows,
             )
         if st is None:
             return {
@@ -1067,6 +1071,7 @@ class LakeTable:
         wm: str | None,
         key_cols: Sequence[str],
         seq_col: str,
+        target_file_rows: int = 2_000_000,
     ):
         """Catalyst COW: a small stats job over the (cached) batch, then
         union batch + touched-bucket table rows, LWW via
@@ -1179,7 +1184,14 @@ class LakeTable:
             (
                 final.withColumn("_bucket_dir", F.col("_bucket"))
                 .withColumn("_del", F.col("_deleted"))
-                .write.partitionBy("_bucket_dir", "_del")
+                # key-sorted, size-bounded files — same contract as the
+                # arrow kernel and split_buckets: sorted keys give the
+                # footer min/max ranges that key-range pruning reads,
+                # maxRecordsPerFile stops a huge bucket becoming one
+                # unbounded file
+                .sortWithinPartitions("_bucket_dir", "_del", *key_cols)
+                .write.option("maxRecordsPerFile", max(1, int(target_file_rows)))
+                .partitionBy("_bucket_dir", "_del")
                 .mode("overwrite")
                 .parquet(stage_dir)
             )

@@ -55,14 +55,31 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
-    band_bits: int = 15,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 60-bit fingerprint into
     60/band_bits chunks (pigeonhole: any pair within max_hamming shares
     at least one exact chunk when bands > max_hamming), equi-join on
-    (band, chunk), then verify with exact hamming distance."""
+    (band, chunk), then verify with exact hamming distance.
+
+    ``band_bits=None`` (default) derives the widest band width that
+    still satisfies the pigeonhole recall guarantee — bands =
+    60/band_bits must exceed ``max_hamming``, so band_bits =
+    60 // (max_hamming + 1). Passing an explicit ``band_bits`` that
+    breaks the guarantee raises rather than silently missing pairs
+    (wider bands = fewer candidates but a recall hole: a pair at
+    distance <= max_hamming can place one differing bit in every band
+    and never meet in the equi-join)."""
+    if band_bits is None:
+        band_bits = max(1, BITS // (max_hamming + 1))
     fps = simhash(docs, id_col, text_col)
     nbands = BITS // band_bits
+    if nbands <= max_hamming:
+        raise ValueError(
+            f"band_bits={band_bits} gives {nbands} bands <= max_hamming="
+            f"{max_hamming}; the pigeonhole guarantee needs more bands "
+            f"(band_bits <= {BITS // (max_hamming + 1)})"
+        )
     banded = fps.select(
         id_col,
         "simhash",

@@ -59,6 +59,15 @@ class SearchEngine:
         df = self.corpus
         if filter_expr is not None:
             df = df.filter(filter_expr)
+        if not query_vec:
+            # degraded embedder (embedders.embed_query returns [] on
+            # provider failure): surface an EMPTY result set with the
+            # normal-path schema, not top_k rows with null distances —
+            # cosine() of a zero-length array is null, which orderBy
+            # would happily rank
+            empty = df.withColumn("distance", F.lit(None).cast("double"))
+            cols = output_cols or [c for c in empty.columns if c != self.vec_col]
+            return empty.select(*cols).limit(0)
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         df = df.withColumn("distance", F.round(cosine(F.col(self.vec_col), q), 6))
         if min_distance is not None:

@@ -110,24 +110,32 @@ class CDCApplier:
         )
         m["epoch_id"] = epoch_id
         m["buckets_split"] = 0
-        if not m.get("skipped"):
-            if self.split_rows_per_bucket:
-                s = self.table.maybe_split(
-                    self.split_rows_per_bucket,
-                    max_buckets=self.split_step_buckets,
-                )
-                if s:
-                    m["buckets_split"] = s["buckets_split"]
-            self._applied_since_compact += 1
-            if self.compact_every and self._applied_since_compact >= self.compact_every:
-                self.table.compact()
-                self.table.vacuum()
-                self._applied_since_compact = 0
-        # metrics buffer AFTER maintenance: buckets_split must be on the
-        # row before a flush can write it (the split itself is separately
-        # durable as an op=split entry in the table lineage)
+        # buffer BEFORE maintenance: the merge is already durable (commit
+        # log fences its epoch), so if compact/split/vacuum raises below,
+        # the applied batch's row must survive — a replay after restart is
+        # fenced to {skipped} and would otherwise permanently shadow it.
+        # The dict is buffered by reference, so the buckets_split update
+        # below lands on the row before any flush can write it.
         self.batch_metrics.append(m)
         self._unflushed.append(m)
+        if not m.get("skipped"):
+            try:
+                if self.split_rows_per_bucket:
+                    s = self.table.maybe_split(
+                        self.split_rows_per_bucket,
+                        max_buckets=self.split_step_buckets,
+                    )
+                    if s:
+                        m["buckets_split"] = s["buckets_split"]
+                self._applied_since_compact += 1
+                if self.compact_every and self._applied_since_compact >= self.compact_every:
+                    self.table.compact()
+                    self.table.vacuum()
+                    self._applied_since_compact = 0
+            except BaseException:
+                # make the merge row durable before the stream dies
+                self._flush_metrics()
+                raise
         if len(self._unflushed) >= self.metrics_flush_every:
             self._flush_metrics()
 

@@ -159,7 +159,30 @@ def tree_cpu_stats() -> dict | None:
                 int(rest[7]) + int(rest[8]),             # minflt
                 int(rest[9]) + int(rest[10]),            # majflt
             )
-        fam = {os.getpid()}
+        # Root the subtree at the topmost JVM ancestor when one exists:
+        # under `spark-submit bench.py` this python process is a CHILD
+        # of the driver JVM, and local-cluster executor JVMs (plus their
+        # python merge workers) hang off that JVM as siblings of this
+        # process — rooting at os.getpid() would count only the driver
+        # script (~2 CPU-sec) and certify cluster pairs with a signal
+        # blind to executor stalls. Walking up while the ancestor is a
+        # java/spark-submit process captures the whole session; under a
+        # plain `python bench.py` the parent is a shell, so the root
+        # stays at this process as before.
+        root = os.getpid()
+        seen_up = set()
+        while ppid.get(root) and ppid[root] not in seen_up:
+            parent = ppid[root]
+            try:
+                with open(f"/proc/{parent}/cmdline", "rb") as f:
+                    cmd = f.read().split(b"\0")[0].lower()
+            except OSError:
+                break
+            if b"java" not in cmd and b"spark-submit" not in cmd:
+                break
+            seen_up.add(parent)
+            root = parent
+        fam = {root}
         changed = True
         while changed:
             changed = False
@@ -173,6 +196,7 @@ def tree_cpu_stats() -> dict | None:
             "sys_sec": sum(r[1] for r in rows),
             "minflt": sum(r[2] for r in rows),
             "majflt": sum(r[3] for r in rows),
+            "rooted_at_jvm": root != os.getpid(),
         }
     except Exception:
         return None
@@ -341,6 +365,10 @@ def bench_cdc(spark, n_events: int, n_batches: int = 8, workdir: str | None = No
                 "tree_sys_sec": round(tree1["sys_sec"] - tree0["sys_sec"], 1),
                 "tree_minflt": tree1["minflt"] - tree0["minflt"],
                 "tree_majflt": tree1["majflt"] - tree0["majflt"],
+                # True when the /proc walk rooted at a JVM ancestor
+                # (spark-submit session: the bracket covers driver JVM +
+                # executors + python workers, not just this script)
+                "tree_rooted_at_jvm": bool(tree1.get("rooted_at_jvm")),
             }
             if tree0 is not None and tree1 is not None
             else {"tree_cpu_sec": None}
@@ -387,10 +415,23 @@ def scaling_evidence() -> dict | None:
         # a 4N/N user-CPU ratio well above ~1 is the intra-run hypervisor
         # stall signature (kernel fault-handler time leaking into one leg);
         # the filtered median over low-ratio pairs is the number BASELINE.md
-        # headlines because it drops samples the band check can't catch
+        # headlines because it drops samples the band check can't catch.
+        # The ratio is only credible when the /proc bracket saw the whole
+        # session: under spark-submit an un-JVM-rooted bracket covers just
+        # the driver script, so its tree CPU undercounts the executors'
+        # own REST-reported CPU — such pairs are excluded from the filter
+        # rather than passed on a blind signal.
+        def _ratio_credible(leg: dict) -> bool:
+            tu, ts = leg.get("tree_user_sec"), leg.get("tree_sys_sec")
+            if tu is None:
+                return False
+            ex = leg.get("executor_cpu_sec")
+            return ex is None or (tu + (ts or 0)) >= ex
+
         low_stall = sorted(
             p["efficiency"] for p in qualified
             if p.get("user_cpu_ratio") is not None and p["user_cpu_ratio"] <= 1.2
+            and _ratio_credible(p.get("N", {})) and _ratio_credible(p.get("N4", {}))
         )
         if low_stall:
             out["stall_filtered"] = {"pairs": len(low_stall),

@@ -153,3 +153,17 @@ def test_ivf_ann_full_probe_equals_exact(spark):
     narrow = [r["vec_id"] for r in ivf_ann_topk(vecs, query, cents, k=10, n_probe=3).collect()]
     recall = len(set(exact) & set(narrow)) / 10
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_simhash_banding_pigeonhole_guard(spark):
+    """Default banding must satisfy the recall guarantee (bands >
+    max_hamming); an explicit band width that breaks it raises instead
+    of silently missing pairs."""
+    corpus = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(corpus, max_hamming=8, band_bits=15)
+    # derived default: 60 // (8+1) = 6-bit bands -> 10 bands > 8
+    out = simhash_neardup_pairs(corpus, max_hamming=8)
+    assert out.columns == ["id1", "id2", "hamming"]

@@ -638,3 +638,32 @@ def test_merge_partition_count_gives_parallelism_independent_waves(monkeypatch):
     # never below one task; defensive on zero parallelism
     monkeypatch.delenv("BEAR_MERGE_TASKS_PER_CORE", raising=False)
     assert merge_partition_count(1, 8, 0) == 1
+
+
+def test_sql_merge_splits_output_files_at_target_rows(spark, tmp_path):
+    """mode='sql' honors the same target_file_rows contract as the
+    arrow kernel: key-sorted chunks bounded by the knob, tight
+    non-overlapping manifest ranges — not one unbounded file per
+    bucket side."""
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        SCHEMA,
+        key_cols=["conv_id", "turn_idx"],
+        seq_col="ts",
+        num_buckets=1,
+    )
+    rows = [
+        (f"conv_{i:04d}", 0, f"t{i}", "2024-01-01 00:00:00", "I", i)
+        for i in range(250)
+    ]
+    m = tbl.merge(_events(spark, rows), mode="sql", target_file_rows=100)
+    assert m["rows_written"] == 250
+    live = [fi for fi in tbl.snapshot["files"]["0"] if not fi["deleted"]]
+    assert len(live) == 3, [fi["rows"] for fi in live]
+    assert sorted(fi["rows"] for fi in live) == [50, 100, 100]
+    # chunks are key-sorted and non-overlapping -> range pruning works
+    ranges = sorted((fi["kmin"], fi["kmax"]) for fi in live)
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert tbl.read().count() == 250

@@ -211,3 +211,34 @@ def test_mcp_tool_roundtrip(app):
     experts = json.loads(responses[0]["result"]["content"][0]["text"])
     assert experts and experts[0]["author_id"].startswith("auth_")
     assert "error" in responses[1], "missing query arg surfaces a JSON-RPC error"
+
+
+def test_degraded_embedder_404s_not_500s(corpus):
+    """A provider failure at query time degrades to an empty result set
+    (reference: bear/embedding.py:207-213) — the API answers 404 'No
+    results found.', never a 500 from the transport exception."""
+    def boom(texts):
+        raise ConnectionError("sidecar down")
+
+    degraded = BearApi(
+        SearchEngine(corpus, id_col="doc_id", vec_col="embedding"),
+        get_embedder({"provider": "http", "transport": boom, "dim": 8}),
+        group_array_col="author_ids",
+    )
+    status, body = call(degraded, "/search_resource", "query=hello&top_k=3")
+    assert status == 404 and body["detail"] == "No results found."
+    status, body = call(degraded, "/search_author", "query=hello&top_k=3")
+    assert status == 404
+
+
+def test_search_engine_empty_query_vec_is_empty_result(corpus):
+    """Library-level contract behind the 404 above: an empty query
+    vector returns an EMPTY frame with the normal result schema, not
+    top_k rows ranked by null distance."""
+    eng = SearchEngine(corpus, id_col="doc_id", vec_col="embedding")
+    out = eng.search_resource([], top_k=3)
+    assert out.count() == 0
+    assert "distance" in out.columns and "embedding" not in out.columns
+    # schema parity with the non-degraded path
+    normal = eng.search_resource([0.1] * 8, top_k=3)
+    assert [f.name for f in out.schema.fields] == [f.name for f in normal.schema.fields]

@@ -137,3 +137,28 @@ def test_raw_json_parse_paths_agree(spark, tmp_path):
 
     pd.testing.assert_frame_equal(jvm[base.columns], base, check_dtype=False)
     pd.testing.assert_frame_equal(arrow[base.columns], base, check_dtype=False)
+
+
+def test_metrics_row_survives_maintenance_failure(spark, tmp_path, monkeypatch):
+    """A successful merge's metrics row must be durable even when the
+    post-merge maintenance (compact/vacuum/split) raises: the epoch is
+    already fenced in the commit log, so a restart replays it as
+    {skipped} and the applied row could never be recorded again."""
+    table = _mk_table(spark, tmp_path)
+    app = CDCApplier(
+        spark, table, str(tmp_path / "log"), str(tmp_path / "ckpt"),
+        str(tmp_path / "metrics"), compact_every=1, metrics_flush_every=100,
+    )
+
+    def boom():
+        raise OSError("transient maintenance failure")
+
+    monkeypatch.setattr(table, "compact", boom)
+    batch = change_events(spark, 500, n_convs=10, seed=7)
+    with pytest.raises(OSError, match="transient"):
+        app._apply_batch(batch, epoch_id=0)
+    # the merge row was flushed to parquet before the exception escaped
+    mt = app.metrics_table().toPandas()
+    assert len(mt) == 1
+    assert not bool(mt["skipped"].iloc[0])
+    assert int(mt["rows_in"].iloc[0]) == 500
