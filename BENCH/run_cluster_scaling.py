@@ -236,8 +236,15 @@ def main() -> None:
             print(f"attempt {attempt}: CLEAN CLUSTER PAIR efficiency={eff:.3f}",
                   flush=True)
         pairs.append(pair)
+        # persist after every qualified pair: a kill mid-invocation must
+        # not lose banked evidence (the final write below also records
+        # the trailing unqualified telemetry)
+        with open(tele_path, "w") as f:
+            json.dump({"pairs": pairs, "telemetry": telemetry,
+                       "events": n_events, "tier": TIER,
+                       "executor_mem_mb": EXEC_MEM_MB}, f, indent=1)
 
-    with open(os.path.join(REPO, "BENCH", "cluster_scaling_telemetry.json"), "w") as f:
+    with open(tele_path, "w") as f:
         json.dump({"pairs": pairs, "telemetry": telemetry,
                    "events": n_events, "tier": TIER,
                    "executor_mem_mb": EXEC_MEM_MB}, f, indent=1)

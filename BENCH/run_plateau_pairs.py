@@ -65,6 +65,18 @@ def _median(effs: list) -> float | None:
     )
 
 
+def _bank_doc(n_events: int, n_batches: int, pairs: list, rejected: list) -> dict:
+    return {
+        "events": n_events, "batches": n_batches,
+        "band": BAND, "min_steady_gbs": MIN_STEADY_GBS,
+        "min_first_gbs": MIN_FIRST_GBS,
+        "pairs": pairs, "rejected": rejected,
+        "best_efficiency": max((p["efficiency"] for p in pairs), default=None),
+        "median_efficiency": _median([p["efficiency"] for p in pairs]),
+        "generated": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+    }
+
+
 def pair_brackets(rN: dict, r4: dict) -> list[dict]:
     return [rN["probe_pre"], rN["probe_post"], r4["probe_pre"], r4["probe_post"]]
 
@@ -134,6 +146,10 @@ def main() -> None:
             "N": rN, "N4": r4,
         }
         (pairs if ok else rejected).append(rec)
+        # persist the bank after EVERY pair: a kill mid-invocation (end
+        # of session, watcher restart) must not lose banked evidence
+        with open(bank_path, "w") as f:
+            json.dump(_bank_doc(n_events, n_batches, pairs, rejected), f, indent=1)
         print(
             f"pair {attempt}: eff={eff} qualified={ok} ({why}) "
             f"N={rN['cdc_events_per_sec']:,.0f} ev/s "
@@ -142,16 +158,8 @@ def main() -> None:
             flush=True,
         )
 
-    out = {
-        "events": n_events, "batches": n_batches,
-        "band": BAND, "min_steady_gbs": MIN_STEADY_GBS,
-        "min_first_gbs": MIN_FIRST_GBS,
-        "pairs": pairs, "rejected": rejected,
-        "best_efficiency": max((p["efficiency"] for p in pairs), default=None),
-        "median_efficiency": _median([p["efficiency"] for p in pairs]),
-        "generated": datetime.now(timezone.utc).isoformat(timespec="seconds"),
-    }
-    with open(os.path.join(REPO, "BENCH", "plateau_pairs.json"), "w") as f:
+    out = _bank_doc(n_events, n_batches, pairs, rejected)
+    with open(bank_path, "w") as f:
         json.dump(out, f, indent=1)
     if not pairs:
         print("no plateau-qualified pairs (host in deep stall or shifting); "
