@@ -23,6 +23,7 @@ change, and ships two providers:
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Any, Protocol
 
 #: text types, reference: bear/embedding.py:12-18
@@ -179,6 +180,13 @@ def embed_query(query: str, embedder: Embedder) -> list[float]:
     try:
         return embedder.embed(query, TEXT_QUERY)[0]
     except Exception:
+        # log before degrading (reference: bear/embedding.py:211-213) —
+        # a permanently misconfigured provider must leave a diagnostic
+        # trail, not just a stream of empty result sets
+        logging.getLogger(__name__).exception(
+            "embed_query failed for provider %s; returning empty vector",
+            type(embedder).__name__,
+        )
         return []
 
 

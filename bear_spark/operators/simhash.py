@@ -70,6 +70,17 @@ def simhash_neardup_pairs(
     (wider bands = fewer candidates but a recall hole: a pair at
     distance <= max_hamming can place one differing bit in every band
     and never meet in the equi-join)."""
+    if max_hamming >= BITS:
+        # no banding scheme over a BITS-bit fingerprint can guarantee
+        # recall at distance >= BITS: even 1-bit bands give only BITS
+        # bands, and the pigeonhole argument needs bands > max_hamming.
+        # Raise up front so a caller who passed no band_bits doesn't get
+        # an error message about a parameter they never set.
+        raise ValueError(
+            f"max_hamming={max_hamming} >= fingerprint width {BITS}: no "
+            f"band width can satisfy the pigeonhole recall guarantee "
+            f"(need max_hamming < {BITS})"
+        )
     if band_bits is None:
         band_bits = max(1, BITS // (max_hamming + 1))
     fps = simhash(docs, id_col, text_col)

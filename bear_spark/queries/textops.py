@@ -392,8 +392,12 @@ def ngram_jaccard_pairs(spark, sf_dir):
     s2 = sizes.alias("s2")
     jac = F.col("inter") / (F.col("s1.sz") + F.col("s2.sz") - F.col("inter"))
     return (
-        inter.join(F.broadcast(s1), F.col("doc1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("doc2") == F.col("s2.doc_id"))
+        # no broadcast hint: `sizes` is one row PER DOCUMENT, so it grows
+        # linearly with the corpus — a mandatory broadcast OOMs at 100×.
+        # AQE picks broadcast when the (filtered) side is actually small,
+        # exactly as the q5 supplier join does.
+        inter.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc2") == F.col("s2.doc_id"))
         .filter(jac >= 0.2)
         .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
     )

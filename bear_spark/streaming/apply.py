@@ -133,8 +133,14 @@ class CDCApplier:
                     self.table.vacuum()
                     self._applied_since_compact = 0
             except BaseException:
-                # make the merge row durable before the stream dies
-                self._flush_metrics()
+                # make the merge row durable before the stream dies —
+                # best-effort: if the flush itself fails (e.g. the same
+                # disk fault that broke compact), the ORIGINAL maintenance
+                # exception must still propagate, not the flush's
+                try:
+                    self._flush_metrics()
+                except Exception:
+                    pass
                 raise
         if len(self._unflushed) >= self.metrics_flush_every:
             self._flush_metrics()

@@ -159,29 +159,36 @@ def tree_cpu_stats() -> dict | None:
                 int(rest[7]) + int(rest[8]),             # minflt
                 int(rest[9]) + int(rest[10]),            # majflt
             )
-        # Root the subtree at the topmost JVM ancestor when one exists:
-        # under `spark-submit bench.py` this python process is a CHILD
-        # of the driver JVM, and local-cluster executor JVMs (plus their
-        # python merge workers) hang off that JVM as siblings of this
-        # process — rooting at os.getpid() would count only the driver
-        # script (~2 CPU-sec) and certify cluster pairs with a signal
-        # blind to executor stalls. Walking up while the ancestor is a
-        # java/spark-submit process captures the whole session; under a
-        # plain `python bench.py` the parent is a shell, so the root
-        # stays at this process as before.
+        # Root the subtree at the FIRST Spark JVM ancestor when one
+        # exists: under `spark-submit bench.py` this python process is a
+        # CHILD of the driver JVM, and local-cluster executor JVMs (plus
+        # their python merge workers) hang off that JVM as siblings of
+        # this process — rooting at os.getpid() would count only the
+        # driver script (~2 CPU-sec) and certify cluster pairs with a
+        # signal blind to executor stalls. We stop at the first java
+        # ancestor whose full cmdline mentions spark (the driver JVM):
+        # climbing to the TOPMOST java ancestor would, under a Java-based
+        # supervisor (Jenkins/Gradle agent), root above the driver and
+        # count unrelated sibling processes' CPU. Under a plain
+        # `python bench.py` the parent is a shell, so the root stays at
+        # this process as before.
         root = os.getpid()
         seen_up = set()
         while ppid.get(root) and ppid[root] not in seen_up:
             parent = ppid[root]
             try:
                 with open(f"/proc/{parent}/cmdline", "rb") as f:
-                    cmd = f.read().split(b"\0")[0].lower()
+                    argv = f.read().lower()
             except OSError:
                 break
+            cmd = argv.split(b"\0")[0]
             if b"java" not in cmd and b"spark-submit" not in cmd:
                 break
             seen_up.add(parent)
             root = parent
+            if b"java" in cmd and b"spark" in argv:
+                # this is the Spark driver JVM — don't climb past it
+                break
         fam = {root}
         changed = True
         while changed:
