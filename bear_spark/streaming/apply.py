@@ -30,6 +30,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from bear_spark.lake import LakeTable
+from bear_spark.lake.table import ConcurrentCommit
 from bear_spark.sources.changelog import read_changelog_stream
 
 
@@ -49,6 +50,7 @@ class CDCApplier:
         target_file_rows: int | None = None,
         split_rows_per_bucket: int = 0,
         split_step_buckets: int = 4,
+        merge_retries: int = 3,
     ):
         self.spark = spark
         self.table = table
@@ -84,6 +86,15 @@ class CDCApplier:
         self.metrics_flush_every = max(1, int(metrics_flush_every))
         self._unflushed: list[dict] = []
         self._flush_seq = 0
+        # A side maintenance job (compact / split / tombstone expiry run
+        # from another process) racing a micro-batch loses or wins the
+        # optimistic snapshot swap; when the STREAM loses, the batch was
+        # never committed, so re-running merge against the advanced
+        # snapshot is safe (the exactly-once fence re-checks offsets) —
+        # a bounded retry keeps one maintenance race from killing a
+        # 10^10-event stream. Bounded so a genuinely stuck writer war
+        # still surfaces.
+        self.merge_retries = max(0, int(merge_retries))
 
     _METRIC_COLS = (
         "epoch_id",
@@ -98,16 +109,27 @@ class CDCApplier:
         "buckets_touched",
         "max_key_rows",
         "buckets_split",
+        "merge_retries",
     )
 
     # -- foreachBatch body -------------------------------------------------
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        m = self.table.merge(
-            batch,
-            mode=self.merge_mode,
-            precombine=self.merge_precombine,
-            target_file_rows=self.target_file_rows,
-        )
+        attempts = 0
+        while True:
+            try:
+                m = self.table.merge(
+                    batch,
+                    mode=self.merge_mode,
+                    precombine=self.merge_precombine,
+                    target_file_rows=self.target_file_rows,
+                )
+                break
+            except ConcurrentCommit:
+                attempts += 1
+                if attempts > self.merge_retries:
+                    raise
+        if attempts:
+            m["merge_retries"] = attempts
         m["epoch_id"] = epoch_id
         m["buckets_split"] = 0
         # buffer BEFORE maintenance: the merge is already durable (commit

@@ -667,3 +667,116 @@ def test_sql_merge_splits_output_files_at_target_rows(spark, tmp_path):
     for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
     assert tbl.read().count() == 250
+
+
+def test_concurrent_commit_loser_leaves_winner_intact(spark, tmp_path):
+    """Two merges racing from one base version: the winner commits, the
+    loser raises ConcurrentCommit at the phase-2 snapshot swap with the
+    winner's manifests and data untouched, and a retry of the loser
+    (now reading the advanced snapshot) succeeds. The loser's orphaned
+    stage dir is reclaimed by vacuum()."""
+    from bear_spark.lake.table import ConcurrentCommit
+
+    root = str(tmp_path / "tbl")
+    t1 = LakeTable.create(
+        spark, root, SCHEMA, key_cols=["conv_id", "turn_idx"],
+        seq_col="ts", num_buckets=2,
+    )
+    t1.merge(_events(spark, [("base", 0, "baseline", "2024-01-01 00:00:00", "I", 1)]))
+
+    # a second, independent writer handle over the same table root;
+    # freeze its snapshot view at the CURRENT version so both writers
+    # observe the same base — the deterministic stand-in for two
+    # processes whose merge() calls interleave
+    t2 = LakeTable.load(spark, root)
+    stale = t2._snapshot()
+    orig_snapshot = t2._snapshot
+    t2._snapshot = lambda version=None: (  # type: ignore[method-assign]
+        stale if version is None else orig_snapshot(version)
+    )
+
+    # winner commits v2 normally
+    m1 = t1.merge(_events(spark, [("win", 0, "winner", "2024-01-02 00:00:00", "I", 2)]))
+    assert m1["version"] == 2
+
+    # loser stages against the stale base, must lose the optimistic check
+    with pytest.raises(ConcurrentCommit):
+        t2.merge(_events(spark, [("los", 0, "loser", "2024-01-03 00:00:00", "I", 3)]))
+
+    # winner's commit is fully intact: version, manifests resolvable,
+    # data readable, loser's row absent
+    fresh = LakeTable.load(spark, root)
+    assert fresh.snapshot["version"] == 2
+    got = sorted(fresh.read().toPandas()["text"])
+    assert got == ["baseline", "winner"]
+
+    # retry of the loser against the live snapshot succeeds
+    t2._snapshot = orig_snapshot  # type: ignore[method-assign]
+    m2 = t2.merge(_events(spark, [("los", 0, "loser", "2024-01-03 00:00:00", "I", 3)]))
+    assert m2["version"] == 3
+    assert sorted(t2.read().toPandas()["text"]) == ["baseline", "loser", "winner"]
+
+    # the failed attempt's stage dir (target version 2, unreferenced) is
+    # orphaned garbage; vacuum reclaims it and the table is unchanged
+    import glob
+    import os
+
+    orphans_before = [
+        d for d in os.listdir(os.path.join(root, "data"))
+        if d.startswith("s2-")
+        and not any(
+            fi["path"].split(os.sep)[1] == d
+            for fs in t2._files(t2._snapshot()).values()
+            for fi in fs
+        )
+    ]
+    assert orphans_before, "expected the loser's stage dir to be orphaned"
+    removed = t2.vacuum()
+    assert set(orphans_before) <= set(removed)
+    assert sorted(LakeTable.load(spark, root).read().toPandas()["text"]) == [
+        "baseline", "loser", "winner",
+    ]
+
+
+def test_cdc_applier_retries_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A side maintenance job racing a micro-batch must not kill the
+    stream: CDCApplier retries merge on ConcurrentCommit (bounded), and
+    surfaces the retry count in the batch metrics. When the bound is
+    exhausted the error propagates."""
+    from bear_spark.lake.table import ConcurrentCommit
+    from bear_spark.streaming.apply import CDCApplier
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "tbl"), SCHEMA,
+        key_cols=["conv_id", "turn_idx"], seq_col="ts", num_buckets=2,
+    )
+    app = CDCApplier(
+        spark, tbl,
+        changelog_dir=str(tmp_path / "log"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        metrics_dir=str(tmp_path / "metrics"),
+        merge_retries=3,
+    )
+
+    real_merge = tbl.merge
+    fail_first = {"left": 2}
+
+    def flaky(batch, **kw):
+        if fail_first["left"] > 0:
+            fail_first["left"] -= 1
+            raise ConcurrentCommit("maintenance advanced the snapshot")
+        return real_merge(batch, **kw)
+
+    monkeypatch.setattr(tbl, "merge", flaky)
+    batch = _events(spark, [("c1", 0, "hello", "2024-01-01 00:00:00", "I", 1)])
+    app._apply_batch(batch, epoch_id=0)
+    assert app.batch_metrics[0]["merge_retries"] == 2
+    assert tbl.read().count() == 1
+
+    # exhausting the bound propagates the error (no infinite writer war)
+    def always_lose(batch, **kw):
+        raise ConcurrentCommit("stuck")
+
+    monkeypatch.setattr(tbl, "merge", always_lose)
+    with pytest.raises(ConcurrentCommit):
+        app._apply_batch(batch, epoch_id=1)
