@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bear_spark.queries import ORACLES, REGISTRY  # noqa: E402
+from bear_spark.queries import REGISTRY, resolve_oracles  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,4 +29,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return resolve_oracles()

@@ -11,5 +11,6 @@ partitioning on ``conv_id`` for merge pruning and conversation locality.
 """
 
 from bear_spark.lake.table import LakeTable
+from bear_spark.lake.vector_index import StaleVectorIndex, VectorIndex
 
-__all__ = ["LakeTable"]
+__all__ = ["LakeTable", "VectorIndex", "StaleVectorIndex"]

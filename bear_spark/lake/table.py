@@ -460,6 +460,26 @@ class LakeTable:
             df = df.filter(F.col(col) == val)
         return df
 
+    # ------------------------------------------------- vector indexes
+    def build_vector_index(self, name: str, **kw):
+        """Materialize durable ANN index state (LSH bucket / IVF list
+        assignment) as partition layout under ``<root>/_index/<name>``
+        — the persisted analog of the reference's store-side HNSW index
+        (reference: bear/config.py:23-35). Probing the index reads only
+        the probed lists' files. See lake/vector_index.py."""
+        from bear_spark.lake.vector_index import VectorIndex
+
+        return VectorIndex.build(self, name, **kw)
+
+    def vector_index(self, name: str):
+        """Load an existing vector index by name (raises if absent)."""
+        from bear_spark.lake.vector_index import VectorIndex
+
+        idx = VectorIndex(self, name)
+        if not idx.exists():
+            raise FileNotFoundError(f"no vector index {name!r} under {idx.root}")
+        return idx
+
     # ------------------------------------------------- change data feed
     def _changed_buckets(self, snap_from: dict, snap_to: dict) -> list[int]:
         """Buckets whose file set differs between two snapshots.

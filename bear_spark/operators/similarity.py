@@ -81,6 +81,53 @@ def ivf_fit_centroids(
     return [c.tolist() for c in model.clusterCenters()]
 
 
+def ivf_fit_centroids_local(
+    X: "np.ndarray",
+    n_lists: int,
+    seed: int = 7,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Driver-side IVF quantizer training: seeded k-means++ init + fixed
+    Lloyd iterations over an in-memory sample.
+
+    This is the realistic 100 TB fit path (the faiss convention: train
+    the coarse quantizer on a ~256-points-per-list sample pulled to one
+    machine, never the full corpus) — and, unlike the distributed MLlib
+    fit, it is bit-deterministic for a given (input order, seed), so the
+    centroids can be shared as literals with a SQL oracle engine.
+    ``ivf_fit_centroids`` remains the distributed alternative when the
+    sample itself is too big for the driver."""
+    X = np.asarray(X, dtype=float)
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    if n < n_lists:
+        raise ValueError(f"{n} vectors < n_lists={n_lists}")
+    # k-means++ seeding
+    centers = [X[int(rng.integers(n))]]
+    for _ in range(1, n_lists):
+        d2 = np.min(
+            [np.sum((X - c) ** 2, axis=1) for c in centers], axis=0
+        )
+        tot = float(d2.sum())
+        if tot <= 0.0:
+            centers.append(X[int(rng.integers(n))])
+            continue
+        centers.append(X[int(rng.choice(n, p=d2 / tot))])
+    C = np.stack(centers)
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        newC = C.copy()
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                newC[j] = X[m].mean(axis=0)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C.tolist()
+
+
 def ivf_assign_expr(vec_col: str, centroids: list[list[float]]):
     """Column expr: index of the nearest centroid (inverted-list id).
 

@@ -18,10 +18,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+# value: SQL string, or a zero-arg callable returning one (lazy oracles
+# whose literals derive from the corpus — e.g. IVF centroids — build at
+# oracle_sql() time, not import time)
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn):
         REGISTRY[name] = fn
         if oracle is not None:
@@ -29,6 +32,22 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolve_oracles() -> dict[str, str]:
+    """ORACLES with lazy entries resolved. A lazy oracle that fails to
+    build (e.g. its corpus file is absent) is dropped — the driver then
+    records the weaker rows-only check instead of erroring the run."""
+    out: dict[str, str] = {}
+    for name, sql in ORACLES.items():
+        if callable(sql):
+            try:
+                out[name] = sql()
+            except Exception:
+                continue
+        else:
+            out[name] = sql
+    return out
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

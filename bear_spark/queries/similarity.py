@@ -113,33 +113,93 @@ def vector_search_filtered(spark, sf_dir):
 
 # IVF index state (centroids), fitted ONCE per corpus and reused by
 # every probe — training never runs inside the query path (at scale the
-# centroids and the list-assignment column are persisted table state;
-# here the cache keys on the corpus dir).
+# centroids and the list-assignment column are persisted table state —
+# lake/vector_index.py; here the cache keys on the corpus dir). The fit
+# is the driver-side train-on-sample path (faiss convention): pyarrow
+# read sorted by vec_id → seeded numpy k-means — bit-deterministic, so
+# the SAME centroid doubles can be inlined as DuckDB oracle literals.
 _IVF_CENTROIDS: dict[tuple[str, int, int], list[list[float]]] = {}
 
 
-def ivf_centroids_for(e, sf_dir: str, n_lists: int = 8, seed: int = 7) -> list[list[float]]:
+def ivf_centroids_for(sf_dir: str, n_lists: int = 8, seed: int = 7) -> list[list[float]]:
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
     from bear_spark.operators import similarity as S
 
     key = (sf_dir, n_lists, seed)
     if key not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[key] = S.ivf_fit_centroids(e, n_lists=n_lists, seed=seed)
+        tb = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        pdf = tb.to_pandas().sort_values("vec_id")
+        X = np.asarray([np.asarray(v, dtype=float) for v in pdf["embedding"]])
+        _IVF_CENTROIDS[key] = S.ivf_fit_centroids_local(X, n_lists=n_lists, seed=seed)
     return _IVF_CENTROIDS[key]
 
 
-@query("ivf_ann_topk")  # approximate → rows-only check (like lsh_ann_topk)
+def _ivf_ann_oracle_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    n_lists: int = 8,
+    seed: int = 7,
+    n_probe: int = 3,
+    k: int = 10,
+) -> str:
+    """IVF ANN in ANSI SQL: centroids are the SAME doubles the Spark
+    query fits (ivf_centroids_for is bit-deterministic), inlined as
+    literals; squared L2 via the dot-product expansion; assignment tie
+    → smallest list id, matching ivf_assign_expr's strict-less rule.
+    Lazy (resolved at oracle_sql() time) because the literals derive
+    from the corpus — the driver's correctness dir is sf0.01."""
+    cents = ivf_centroids_for(sf_dir, n_lists=n_lists, seed=seed)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    d_of = "(list_dot_product({v}, {v}) - 2*list_dot_product({v}, cv) + list_dot_product(cv, cv))"
+    return f"""
+    WITH cd AS (SELECT * FROM (VALUES {vals}) AS t(i, cv)),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT i FROM cd CROSS JOIN q
+      ORDER BY {d_of.format(v='qv')}, i LIMIT {n_probe}
+    ),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id <> 0),
+    ranked AS (
+      SELECT vec_id, v, i,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {d_of.format(v='v')}, i) AS rn
+      FROM vecs CROSS JOIN cd
+    ),
+    assigned AS (SELECT vec_id, v, i AS lst FROM ranked WHERE rn = 1)
+    SELECT a.vec_id,
+           round(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM assigned a JOIN probe p ON a.lst = p.i CROSS JOIN q
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT {k}
+    """
+
+
+@query("ivf_ann_topk", _ivf_ann_oracle_sql)  # lazy: literals derive from the corpus
 def ivf_ann_topk_q(spark, sf_dir):
     """IVF approximate nearest neighbours: k-means coarse quantizer →
     probe the nearest inverted lists → exact cosine within candidates
     (operators/similarity.py). The scale path: list id is a partition
-    column, probing = partition pruning. Centroids are precomputed
-    (module cache here, persisted index state at scale) — no .fit in
-    the query path."""
+    column, probing = partition pruning (persisted form:
+    lake/vector_index.py). Centroids are precomputed (module cache
+    here, persisted index state at scale) — no .fit in the query path;
+    the deterministic driver-side fit lets the DuckDB oracle share the
+    exact centroid literals, upgrading this entry to a full
+    rows+schema+hash check."""
     from bear_spark.operators import similarity as S
 
     e = t(spark, sf_dir, "embeddings")
     qvec = [r[0] for r in e.filter(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
-    cents = ivf_centroids_for(e, sf_dir)
+    cents = ivf_centroids_for(sf_dir)
     return S.ivf_ann_topk(e.filter(F.col("vec_id") != 0), qvec, cents, k=10, n_probe=3)
 
 
