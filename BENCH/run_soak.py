@@ -48,6 +48,13 @@ def main() -> None:
     n_events = int(os.environ.get("SOAK_EVENTS", str(10**9)))
     n_batches = int(os.environ.get("SOAK_BATCHES", "10"))
     compact_every = int(os.environ.get("SOAK_COMPACT_EVERY", "4"))
+    # vacuum cadence, decoupled from compaction (round-4): COW
+    # supersedes roughly a table's worth of files per batch, so letting
+    # garbage ride for a 4-6 batch compact cycle is what capped the
+    # round-3 soak at 687.5M on this host's tmpfs/RAM ceiling. A
+    # per-batch vacuum is a driver-side rm of already-superseded stage
+    # dirs (sub-second) and bounds garbage to ONE batch's rewrite.
+    vacuum_every = int(os.environ.get("SOAK_VACUUM_EVERY", "1"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     num_buckets = int(os.environ.get("BENCH_NUM_BUCKETS", "64"))
     os.environ.setdefault("BEAR_SHM_SPILL", "1")
@@ -185,6 +192,11 @@ def main() -> None:
             table.vacuum()
             maint_wall += time.time() - t0
             print(f"# compact+vacuum after batch {mb}: {time.time() - t0:.1f}s", flush=True)
+        elif vacuum_every and applied % vacuum_every == 0:
+            t0 = time.time()
+            table.vacuum()
+            maint_wall += time.time() - t0
+            print(f"# vacuum after batch {mb}: {time.time() - t0:.1f}s", flush=True)
 
     # end-of-stream maintenance: expire delete markers behind an
     # operator-owned horizon (keep-late table → explicit cutoff), then

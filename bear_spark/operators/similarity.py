@@ -15,6 +15,21 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# `impl="auto"` dispatch boundary for the Arrow-batched BLAS kernels vs
+# the JVM zip_with/aggregate expressions. Measured (BENCH/BASELINE.md
+# "Vector math A/B", 100k-row topk / 20k-row blocked pairs): the BLAS
+# kernel wins at EVERY dim once the corpus amortizes the Python worker
+# round-trip — topk 0.75→0.40 s at dim 64, 2.43→0.46 at 768; blocked
+# pairs 3.9→0.7 at 64 and 61.3→0.57 at 768 (the JVM per-pair dot fold
+# scales with dim, the per-block matmul barely moves). JVM only wins on
+# tiny corpora (hundreds of rows), where worker startup dominates —
+# which is exactly the low-dim testdata regime, so the dim-keyed
+# dispatch keeps small/low-dim on JVM and embedding-model dims
+# (reference default 3072, bear/config.py:60-61) on BLAS. For a big
+# low-dim corpus, pass impl="pandas" explicitly.
+PANDAS_DIM_THRESHOLD = 256
 
 
 def _dot(a, b):
@@ -34,14 +49,117 @@ def cosine(a, b):
 
 
 def cosine_topk(
-    vecs: DataFrame, query: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+    vecs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
-    """Exact top-k by cosine against a literal query vector."""
+    """Exact top-k by cosine against a literal query vector.
+
+    ``impl``: ``"jvm"`` (zip_with/aggregate inside codegen — wins at
+    low dim), ``"pandas"`` (Arrow-batched BLAS matvec — wins at
+    embedding-model dims, reference default 3072:
+    bear/config.py:60-61), or ``"auto"`` (dispatch on
+    PANDAS_DIM_THRESHOLD; A/B numbers in BENCH/BASELINE.md)."""
+    if impl == "auto":
+        impl = "pandas" if len(query) >= PANDAS_DIM_THRESHOLD else "jvm"
+    if impl == "pandas":
+        return cosine_topk_pandas(vecs, query, k=k, id_col=id_col, vec_col=vec_col)
     q = F.array(*[F.lit(float(x)) for x in query])
     return (
         vecs.select(id_col, F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
+    )
+
+
+def cosine_topk_pandas(
+    vecs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched matrix kernel: per batch, stack the embeddings into
+    one (batch, dim) matrix and score with a single BLAS matvec — the
+    high-dim fast path (one vectorized op per batch vs a per-element
+    codegen fold per row). Per-partition top-k happens via Spark's
+    TakeOrdered on the scored stream; no Python in the final sort."""
+    import pandas as pd
+
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    id_field = vecs.schema[id_col]
+    out_schema = T.StructType([id_field, T.StructField("cos_sim", T.DoubleType())])
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (X @ q) / (np.linalg.norm(X, axis=1) * qn)
+            yield pd.DataFrame({id_col: pdf[id_col], "cos_sim": np.round(sims, 6)})
+
+    return (
+        vecs.select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs_pandas(
+    vecs: DataFrame,
+    threshold: float = 0.9,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked near-dup pairs via a per-block BLAS gram matrix: within
+    each block (LSH bucket / label), normalize rows once and take the
+    upper triangle of X̂·X̂ᵀ ≥ threshold. One matmul per block instead
+    of one JVM dot per pair — the high-dim winner (BENCH A/B). Block
+    sizes are bounded by the blocking scheme, so the O(b²) triangle
+    stays in one task's memory; the shuffle is the same groupBy-block
+    exchange the JVM plan pays."""
+    import pandas as pd
+
+    id_field = vecs.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id1", id_field.dataType),
+            T.StructField("id2", id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []}).astype(
+                {"cos_sim": "float64"}
+            )
+        pdf = pdf.sort_values(id_col)
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ Xn.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = S[iu, ju] >= threshold
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "id1": ids[iu[keep]],
+                "id2": ids[ju[keep]],
+                "cos_sim": np.round(S[iu, ju][keep], 4),
+            }
+        )
+
+    return (
+        vecs.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(pairs, out_schema)
     )
 
 

@@ -167,3 +167,51 @@ def test_simhash_banding_pigeonhole_guard(spark):
     # derived default: 60 // (8+1) = 6-bit bands -> 10 bands > 8
     out = simhash_neardup_pairs(corpus, max_hamming=8)
     assert out.columns == ["id1", "id2", "hamming"]
+
+
+def test_pandas_matrix_kernels_agree_with_jvm(spark):
+    """The Arrow-batched BLAS kernels (high-dim fast path) must return
+    exactly what the JVM zip_with/aggregate expressions return — same
+    ids, same rounded scores — and impl='auto' must dispatch to pandas
+    at embedding-model dims."""
+    import numpy as np
+
+    from bear_spark.operators.similarity import (
+        PANDAS_DIM_THRESHOLD,
+        cosine_neardup_pairs_pandas,
+        cosine_topk_pandas,
+    )
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    query = [float(x) for x in vecs.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    jvm = cosine_topk(vecs, query, k=10, impl="jvm").collect()
+    pdk = cosine_topk_pandas(vecs, query, k=10).collect()
+    assert [(r.vec_id, r.cos_sim) for r in jvm] == [(r.vec_id, r.cos_sim) for r in pdk]
+    assert len(query) < PANDAS_DIM_THRESHOLD  # testdata is low-dim → auto=jvm
+
+    # blocked near-dup pairs: gram-matrix kernel vs the oracle-green
+    # JVM query (queries/similarity.cosine_neardup_pairs)
+    from bear_spark.queries.similarity import cosine_neardup_pairs as q_jvm
+
+    exp = {
+        (r.id1, r.id2, r.cos_sim)
+        for r in q_jvm(spark, SF).collect()
+    }
+    got = {
+        (r.id1, r.id2, r.cos_sim)
+        for r in cosine_neardup_pairs_pandas(vecs, threshold=0.9).collect()
+    }
+    assert got == exp
+
+    # auto dispatch at high dim routes through the pandas kernel
+    rng = np.random.default_rng(5)
+    hi = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(PANDAS_DIM_THRESHOLD)])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    hq = [float(x) for x in rng.standard_normal(PANDAS_DIM_THRESHOLD)]
+    auto = cosine_topk(hi, hq, k=5, impl="auto").collect()
+    ref = cosine_topk_pandas(hi, hq, k=5).collect()
+    assert [(r.vec_id, r.cos_sim) for r in auto] == [(r.vec_id, r.cos_sim) for r in ref]
