@@ -49,6 +49,7 @@ from typing import Any, Sequence
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bear_spark.operators import similarity as S
 
@@ -102,7 +103,7 @@ class VectorIndex:
             raise ValueError(f"unknown index kind: {kind!r}")
         idx = cls(table, name)
         snap = table._snapshot()
-        id_cols = list(id_cols or table.snapshot["key_cols"])
+        id_cols = list(id_cols or snap["key_cols"])
         df = table.read().select(*id_cols, vec_col)
 
         if _state is not None:
@@ -259,7 +260,13 @@ class VectorIndex:
         cand = self._candidate_scan(lists)
         id_col = m["id_cols"][0]
         if cand is None:
-            schema = f"`{id_col}` long, cos_sim double"
+            id_type = self.table.payload_schema()[id_col].dataType
+            schema = T.StructType(
+                [
+                    T.StructField(id_col, id_type),
+                    T.StructField("cos_sim", T.DoubleType()),
+                ]
+            )
             return self.table.spark.createDataFrame([], schema)
         q = F.array(*[F.lit(float(x)) for x in query])
         return (

@@ -106,7 +106,12 @@ class ModelRegistry:
                     widened, _ = reconcile.evolve(
                         T.StructType([have[f.name]]), T.StructType([f])
                     )
-                    have[f.name].dataType = widened[f.name].dataType
+                    # replace rather than mutate: the field object is
+                    # aliased into `out`, and in-place dataType writes on
+                    # a shared StructField are an aliasing trap
+                    repl = T.StructField(f.name, widened[f.name].dataType, True)
+                    out[out.index(have[f.name])] = repl
+                    have[f.name] = repl
         return T.StructType(out)
 
     def union_read(self, type_col: str = "_type") -> DataFrame:
