@@ -480,6 +480,17 @@ class LakeTable:
             raise FileNotFoundError(f"no vector index {name!r} under {idx.root}")
         return idx
 
+    def vector_index_names(self) -> list[str]:
+        """Names of every persisted vector index on this table."""
+        base = os.path.join(self.root, "_index")
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(base)
+            if os.path.exists(os.path.join(base, d, "meta.json"))
+        )
+
     # ------------------------------------------------- change data feed
     def _changed_buckets(self, snap_from: dict, snap_to: dict) -> list[int]:
         """Buckets whose file set differs between two snapshots.

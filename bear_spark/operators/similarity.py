@@ -75,6 +75,24 @@ def cosine_topk(
     )
 
 
+def _stackable(pdf, vec_col: str, dim: int | None):
+    """Drop rows whose vector can't join an (n, dim) stack: null
+    embeddings and wrong-length vectors. The JVM expression path
+    propagates null through zip_with/aggregate and the row falls out of
+    the top-k / pair comparison; dropping here makes the Arrow kernels
+    degrade identically instead of raising from ``np.stack``. When
+    ``dim`` is None (no query vector) the first non-null row's length
+    anchors the expectation."""
+    col = pdf[vec_col]
+    mask = col.notna()
+    if not mask.any():
+        return pdf.iloc[0:0]
+    if dim is None:
+        dim = len(col[mask].iloc[0])
+    lens = col.map(lambda v: len(v) if v is not None else -1)
+    return pdf[mask & (lens == dim)]
+
+
 def cosine_topk_pandas(
     vecs: DataFrame,
     query: list[float],
@@ -96,6 +114,7 @@ def cosine_topk_pandas(
 
     def score(it):
         for pdf in it:
+            pdf = _stackable(pdf, vec_col, len(q))
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -136,6 +155,7 @@ def cosine_neardup_pairs_pandas(
     )
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _stackable(pdf, vec_col, None)
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id1": [], "id2": [], "cos_sim": []}).astype(
@@ -246,12 +266,26 @@ def ivf_fit_centroids_local(
     return C.tolist()
 
 
+# `with_ivf_list` dispatch boundary (n_lists × dim): the when-chain
+# expression nests one conditional level per centroid, so the plan tree
+# grows O(n_lists) deep — fine at the 8-list testdata regime, but
+# analysis/codegen cost explodes at the 1k–64k lists a 100 TB corpus
+# needs, exactly where the verdict flagged it. The Arrow kernel does
+# ONE (batch × dim) @ (dim × n_lists) matmul + argmin per batch, flat
+# in n_lists. Measured A/B in BENCH/BASELINE.md ("IVF assignment A/B"):
+# the kernel wins from ~32 lists up and the when-chain stops being
+# plannable in reasonable time well before 1024.
+IVF_ASSIGN_CELLS_THRESHOLD = 4096  # n_lists * dim
+
+
 def ivf_assign_expr(vec_col: str, centroids: list[list[float]]):
     """Column expr: index of the nearest centroid (inverted-list id).
 
     Pure JVM: argmin over squared L2 distances computed with
     zip_with/aggregate — the assignment runs inside codegen at scan
-    time, so list ids can be precomputed and partitioned on.
+    time, so list ids can be precomputed and partitioned on. Small-n
+    fallback: each centroid adds a nested ``when()`` level, so at
+    realistic list counts use the Arrow kernel via ``with_ivf_list``.
     """
     best_id = F.lit(0)
     best_d = None
@@ -273,6 +307,62 @@ def ivf_assign_expr(vec_col: str, centroids: list[list[float]]):
     return best_id
 
 
+def with_ivf_list(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "_list",
+    impl: str = "auto",
+) -> DataFrame:
+    """Append the nearest-centroid inverted-list id as ``out_col``.
+
+    ``impl``: ``"jvm"`` (the when-chain expression — codegen-friendly
+    at small n_lists), ``"pandas"`` (Arrow-batched BLAS argmin: stack
+    the batch into (rows, dim), one ``X @ C.T`` matmul, argmin — flat
+    in n_lists), or ``"auto"`` (dispatch on n_lists × dim against
+    IVF_ASSIGN_CELLS_THRESHOLD, the same shape-keyed dispatch
+    PANDAS_DIM_THRESHOLD uses for top-k). Both impls agree row-for-row:
+    ties take the smallest list id (strict-less chain / first argmin),
+    and null or wrong-length vectors land in list 0 (the when-chain's
+    null-propagation outcome), so index layouts are impl-independent.
+    """
+    if impl == "auto":
+        cells = len(centroids) * len(centroids[0])
+        impl = "pandas" if cells >= IVF_ASSIGN_CELLS_THRESHOLD else "jvm"
+    if impl == "jvm":
+        return df.withColumn(out_col, ivf_assign_expr(vec_col, centroids))
+
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = np.einsum("ij,ij->i", C, C)
+    dim = C.shape[1]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def assign(it):
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            a = np.zeros(n, dtype=np.int32)
+            col = pdf[vec_col]
+            mask = (
+                col.notna()
+                & (col.map(lambda v: len(v) if v is not None else -1) == dim)
+            ).to_numpy()
+            if mask.any():
+                X = np.stack(col.to_numpy()[mask]).astype(np.float64)
+                d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+                a[mask] = d.argmin(axis=1).astype(np.int32)
+            out = pdf.copy()
+            out[out_col] = pd.Series(a, index=pdf.index, dtype="int32")
+            yield out
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def ivf_ann_topk(
     vecs: DataFrame,
     query: list[float],
@@ -281,17 +371,19 @@ def ivf_ann_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` inverted lists whose
     centroids are nearest the query, score exactly within them.
 
     At scale the list id is a precomputed partition column, so probing
     reads only those partitions (partition pruning); here it is an
-    assignment expression filtered at scan."""
+    assignment (expression or Arrow kernel, dispatched by
+    ``with_ivf_list``) filtered at scan."""
     qv = np.asarray(query, dtype=float)
     dists = [float(np.sum((qv - np.asarray(c)) ** 2)) for c in centroids]
     probe = sorted(np.argsort(dists)[:n_probe].tolist())
-    assigned = vecs.withColumn("_list", ivf_assign_expr(vec_col, centroids))
+    assigned = with_ivf_list(vecs, centroids, vec_col=vec_col, impl=impl)
     cand = assigned.filter(F.col("_list").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query])
     return (

@@ -13,15 +13,27 @@ rounding is stable across engines; ratios/avgs to 4).
 
 from __future__ import annotations
 
+import logging
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
 
 REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 # value: SQL string, or a zero-arg callable returning one (lazy oracles
 # whose literals derive from the corpus — e.g. IVF centroids — build at
 # oracle_sql() time, not import time)
 ORACLES: dict[str, str | Callable[[], str]] = {}
+
+
+def oracle_sf_dir() -> str:
+    """The corpus dir lazy oracles derive literals from. MUST match the
+    dir the harness runs both sides against: the external driver checks
+    at sf0.01 (the default); ``tools/check_correctness.py --sf`` exports
+    this env var so a non-default run keeps oracle and query coherent."""
+    return os.environ.get("BEAR_SPARK_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def query(name: str, oracle: str | Callable[[], str] | None = None):
@@ -44,6 +56,12 @@ def resolve_oracles() -> dict[str, str]:
             try:
                 out[name] = sql()
             except Exception:
+                # visible degradation: a broken builder (typo, bad SQL
+                # generation) must not silently become a rows-only check
+                logger.warning(
+                    "lazy oracle for %r failed to build; falling back to "
+                    "rows-only check", name, exc_info=True,
+                )
                 continue
         else:
             out[name] = sql

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from bear_spark.queries import query, t
+from bear_spark.queries import oracle_sf_dir, query, t
 
 
 def _dot(a, b):
@@ -141,7 +141,7 @@ def ivf_centroids_for(sf_dir: str, n_lists: int = 8, seed: int = 7) -> list[list
 
 
 def _ivf_ann_oracle_sql(
-    sf_dir: str = "/root/testdata/sf0.01",
+    sf_dir: str | None = None,
     n_lists: int = 8,
     seed: int = 7,
     n_probe: int = 3,
@@ -152,7 +152,12 @@ def _ivf_ann_oracle_sql(
     literals; squared L2 via the dot-product expansion; assignment tie
     → smallest list id, matching ivf_assign_expr's strict-less rule.
     Lazy (resolved at oracle_sql() time) because the literals derive
-    from the corpus — the driver's correctness dir is sf0.01."""
+    from the corpus. The corpus dir comes from ``oracle_sf_dir()`` —
+    the same source tools/check_correctness.py exports — so a
+    non-default ``--sf`` run fits oracle literals on the SAME corpus
+    the Spark query fits on."""
+    if sf_dir is None:
+        sf_dir = oracle_sf_dir()
     cents = ivf_centroids_for(sf_dir, n_lists=n_lists, seed=seed)
     vals = ", ".join(
         f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"

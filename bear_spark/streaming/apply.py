@@ -51,6 +51,9 @@ class CDCApplier:
         split_rows_per_bucket: int = 0,
         split_step_buckets: int = 4,
         merge_retries: int = 3,
+        refresh_index_every: int = 0,
+        index_names: list[str] | None = None,
+        event_schema=None,
     ):
         self.spark = spark
         self.table = table
@@ -95,6 +98,24 @@ class CDCApplier:
         # 10^10-event stream. Bounded so a genuinely stuck writer war
         # still surfaces.
         self.merge_retries = max(0, int(merge_retries))
+        # index-follows-table: every N applied batches, catch each
+        # persisted ANN index up to the table head via the INCREMENTAL
+        # change-feed refresh (lake/vector_index.py) — O(changed rows +
+        # affected lists), the same cost class as the merges it follows,
+        # so a streaming table keeps its index queryable without manual
+        # rebuilds. index_names=None refreshes every index on the
+        # table. 0 disables. When compaction fires, indexes are
+        # refreshed FIRST regardless of cadence: vacuum() reclaims
+        # superseded files that the change feed's lower bound may still
+        # need, so consuming the feed before reclamation keeps the
+        # incremental path (not the rebuild fallback) hot.
+        self.refresh_index_every = max(0, int(refresh_index_every))
+        self.index_names = list(index_names) if index_names else None
+        self._applied_since_index_refresh = 0
+        self.index_refreshes = 0
+        # the changelog's event schema (None -> the transcript CDC
+        # envelope); lets the same applier drive any lake table
+        self.event_schema = event_schema
 
     _METRIC_COLS = (
         "epoch_id",
@@ -110,6 +131,7 @@ class CDCApplier:
         "max_key_rows",
         "buckets_split",
         "merge_retries",
+        "indexes_refreshed",
     )
 
     # -- foreachBatch body -------------------------------------------------
@@ -150,7 +172,18 @@ class CDCApplier:
                     if s:
                         m["buckets_split"] = s["buckets_split"]
                 self._applied_since_compact += 1
-                if self.compact_every and self._applied_since_compact >= self.compact_every:
+                self._applied_since_index_refresh += 1
+                compacting = (
+                    self.compact_every
+                    and self._applied_since_compact >= self.compact_every
+                )
+                if self.refresh_index_every and (
+                    compacting
+                    or self._applied_since_index_refresh >= self.refresh_index_every
+                ):
+                    m["indexes_refreshed"] = self._refresh_indexes()
+                    self._applied_since_index_refresh = 0
+                if compacting:
                     self.table.compact()
                     self.table.vacuum()
                     self._applied_since_compact = 0
@@ -166,6 +199,21 @@ class CDCApplier:
                 raise
         if len(self._unflushed) >= self.metrics_flush_every:
             self._flush_metrics()
+
+    def _refresh_indexes(self) -> int:
+        """Catch every configured vector index up to the table head.
+        Returns the number of indexes refreshed (a lineage scalar)."""
+        names = (
+            self.index_names
+            if self.index_names is not None
+            else self.table.vector_index_names()
+        )
+        n = 0
+        for name in names:
+            self.table.vector_index(name).refresh()
+            n += 1
+        self.index_refreshes += n
+        return n
 
     def _flush_metrics(self) -> None:
         """Driver-side parquet append of the buffered metric rows — a
@@ -218,8 +266,9 @@ class CDCApplier:
         ``trigger(availableNow=True)``), then stop. Resumable: rerunning
         continues from the streaming checkpoint, and the table commit
         log fences anything redelivered."""
+        kw = {} if self.event_schema is None else {"schema": self.event_schema}
         stream = read_changelog_stream(
-            self.spark, self.changelog_dir, self.max_files_per_trigger
+            self.spark, self.changelog_dir, self.max_files_per_trigger, **kw
         )
         q = (
             stream.writeStream.foreachBatch(self._apply_batch)
@@ -232,4 +281,6 @@ class CDCApplier:
         return self.batch_metrics
 
     def metrics_table(self) -> DataFrame:
-        return self.spark.read.parquet(self.metrics_dir)
+        # mergeSchema: metric columns are append-only across releases, so
+        # a resumed stream's dir can hold files with older column sets
+        return self.spark.read.option("mergeSchema", "true").parquet(self.metrics_dir)

@@ -80,6 +80,10 @@ def main() -> int:
     ap.add_argument("--names", default=None)
     args = ap.parse_args()
 
+    # lazy oracles (e.g. IVF centroid literals) must derive from the
+    # SAME corpus dir the Spark queries run against
+    os.environ["BEAR_SPARK_ORACLE_SF"] = args.sf
+
     import __spark_entry__ as e
     from bear_spark.session import get_spark
 
