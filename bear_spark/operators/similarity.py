@@ -266,45 +266,51 @@ def ivf_fit_centroids_local(
     return C.tolist()
 
 
-# `with_ivf_list` dispatch boundary (n_lists × dim): the when-chain
-# expression nests one conditional level per centroid, so the plan tree
-# grows O(n_lists) deep — fine at the 8-list testdata regime, but
-# analysis/codegen cost explodes at the 1k–64k lists a 100 TB corpus
-# needs, exactly where the verdict flagged it. The Arrow kernel does
-# ONE (batch × dim) @ (dim × n_lists) matmul + argmin per batch, flat
-# in n_lists. Measured A/B in BENCH/BASELINE.md ("IVF assignment A/B"):
-# the kernel wins from ~32 lists up and the when-chain stops being
-# plannable in reasonable time well before 1024.
-IVF_ASSIGN_CELLS_THRESHOLD = 4096  # n_lists * dim
+# `with_ivf_list` dispatch boundary (n_lists × dim): the JVM
+# expression is linear-size (one transform over an array-of-centroids
+# literal + array_min/array_position argmin — see ivf_assign_expr) so
+# it PLANS fine at any n_lists, but its per-row cost is a scalar fold
+# over every (centroid, component) pair inside codegen, while the
+# Arrow kernel does ONE (batch × dim) @ (dim × n_lists) BLAS matmul +
+# argmin per batch. Measured (BENCH/BASELINE.md "IVF assignment A/B",
+# 100k rows dim 64): JVM grows linearly 2.8→5.2→19→76→161 s across
+# n_lists 8→32→128→512→1024 while the kernel stays 0.6–7.7 s — the
+# kernel wins ~8× from n_lists=32 (2048 cells) up. Below that, tiny
+# corpora + the 8-list testdata regime keep JVM (no Python boundary,
+# bit-shared plan with the DuckDB oracle). (An earlier when-chain
+# formulation of the JVM path was EXPONENTIAL in n_lists at analysis
+# time — 8 s at n_lists=8, 83 s at 12, OOM beyond — which is why the
+# expression is array-shaped now.)
+IVF_ASSIGN_CELLS_THRESHOLD = 2048  # n_lists * dim
 
 
 def ivf_assign_expr(vec_col: str, centroids: list[list[float]]):
     """Column expr: index of the nearest centroid (inverted-list id).
 
-    Pure JVM: argmin over squared L2 distances computed with
-    zip_with/aggregate — the assignment runs inside codegen at scan
-    time, so list ids can be precomputed and partitioned on. Small-n
-    fallback: each centroid adds a nested ``when()`` level, so at
-    realistic list counts use the Arrow kernel via ``with_ivf_list``.
+    Pure JVM and LINEAR in n_lists: the centroids ship as one
+    array-of-arrays literal, ``transform`` computes every squared-L2
+    distance with the same zip_with/aggregate fold, and the argmin is
+    ``array_position(d, array_min(d)) - 1`` (first occurrence — ties
+    take the smallest list id). Null or wrong-length vectors
+    null-propagate through every distance and coalesce to list 0. The
+    whole expression stays inside codegen, so list ids can be
+    precomputed and partitioned on at scan time.
     """
-    best_id = F.lit(0)
-    best_d = None
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
+    C = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    vec = F.col(vec_col)
+    d = F.transform(
+        C,
+        lambda carr: F.aggregate(
             F.zip_with(
-                F.col(vec_col), carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                vec, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        if best_d is None:
-            best_d = d
-        else:
-            better = d < best_d
-            best_id = F.when(better, F.lit(i)).otherwise(best_id)
-            best_d = F.when(better, d).otherwise(best_d)
-    return best_id
+        ),
+    )
+    return F.coalesce(
+        (F.array_position(d, F.array_min(d)) - F.lit(1)).cast("int"), F.lit(0)
+    )
 
 
 def with_ivf_list(
@@ -316,15 +322,15 @@ def with_ivf_list(
 ) -> DataFrame:
     """Append the nearest-centroid inverted-list id as ``out_col``.
 
-    ``impl``: ``"jvm"`` (the when-chain expression — codegen-friendly
-    at small n_lists), ``"pandas"`` (Arrow-batched BLAS argmin: stack
-    the batch into (rows, dim), one ``X @ C.T`` matmul, argmin — flat
-    in n_lists), or ``"auto"`` (dispatch on n_lists × dim against
-    IVF_ASSIGN_CELLS_THRESHOLD, the same shape-keyed dispatch
-    PANDAS_DIM_THRESHOLD uses for top-k). Both impls agree row-for-row:
-    ties take the smallest list id (strict-less chain / first argmin),
-    and null or wrong-length vectors land in list 0 (the when-chain's
-    null-propagation outcome), so index layouts are impl-independent.
+    ``impl``: ``"jvm"`` (the linear array expression — zero Python,
+    whole-stage codegen), ``"pandas"`` (Arrow-batched BLAS argmin:
+    stack the batch into (rows, dim), one ``X @ C.T`` matmul, argmin —
+    one vectorized op per batch), or ``"auto"`` (dispatch on
+    n_lists × dim against IVF_ASSIGN_CELLS_THRESHOLD, the same
+    shape-keyed dispatch PANDAS_DIM_THRESHOLD uses for top-k). Both
+    impls agree row-for-row: ties take the smallest list id (first
+    argmin / first array_position match), and null or wrong-length
+    vectors land in list 0, so index layouts are impl-independent.
     """
     if impl == "auto":
         cells = len(centroids) * len(centroids[0])
