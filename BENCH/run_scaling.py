@@ -87,14 +87,21 @@ def run_level(cpus: int, n_events: int, n_batches: int) -> dict:
             f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseTransparentHugePages",
         ),
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-        timeout=3000,
-    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=3000,
+        )
+    except subprocess.CalledProcessError as e:
+        # surface the child's failure instead of swallowing it with
+        # capture_output (a lost stderr cost a round-5 debugging cycle)
+        sys.stderr.write("bench.py leg failed; stderr tail:\n")
+        sys.stderr.write("\n".join((e.stderr or "").splitlines()[-30:]) + "\n")
+        raise
     line = [ln for ln in out.stdout.strip().splitlines() if ln.lstrip().startswith("{")][-1]
     return json.loads(line)["cdc"]
 

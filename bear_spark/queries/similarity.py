@@ -268,3 +268,71 @@ def embed_documents_deterministic(spark, sf_dir):
         ).alias("embed_text"),
     )
     return embed_text_expr(d, text_col="embed_text", dim=4)
+
+
+_DUCK_COS_Q = (
+    "list_dot_product(v, qv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+)
+
+
+@query(
+    "search_author_rerank",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, label, round({_DUCK_COS_Q}, 6) AS distance
+      FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings) CROSS JOIN q
+    ),
+    hits AS (SELECT * FROM scored ORDER BY distance DESC, vec_id LIMIT 150),
+    filt AS (SELECT * FROM hits WHERE distance > 0.05),
+    ex AS (
+      SELECT CAST(vec_id % 7 AS VARCHAR) AS grp, distance, vec_id FROM filt
+      UNION ALL
+      SELECT CAST(label AS VARCHAR) AS grp, distance, vec_id FROM filt
+    ),
+    topn AS (
+      SELECT grp, pow(distance, 3) AS s,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY pow(distance, 3) DESC, vec_id) AS rn
+      FROM ex
+    )
+    SELECT grp AS _group, round(sum(s), 4) AS total_score
+    FROM topn WHERE rn <= 4
+    GROUP BY grp ORDER BY total_score DESC, _group LIMIT 12
+    """,
+)
+def search_author_rerank(spark, sf_dir):
+    """The COMPOSED search_author facade under the driver oracle:
+    resource fan-out (top-150 by cosine, ties by id) → raw-distance
+    threshold (strict >, pre-formula — reference: bear/reranker.py) →
+    explode denormalized group ids → formula score → per-group top-4
+    sum → rank (reference: bear/search.py:113-122 + reranker.py:76-153).
+    Runs through SearchEngine itself, not a reimplementation, so the
+    driver check covers the real facade end-to-end; a pandas replay of
+    the same pipeline is tested in tests/test_search_engine.py."""
+    from bear_spark.search import SearchEngine
+
+    e = t(spark, sf_dir, "embeddings").withColumn(
+        "group_ids",
+        F.array(
+            (F.col("vec_id") % 7).cast("string"), F.col("label").cast("string")
+        ),
+    )
+    qvec = [
+        r[0]
+        for r in e.filter(F.col("vec_id") == 0)
+        .select(F.explode("embedding"))
+        .collect()
+    ]
+    return SearchEngine(e).search_author(
+        qvec,
+        group_array_col="group_ids",
+        formula="pow(distance, 3)",
+        top_k=150,
+        top_n_per_group=4,
+        min_distance=0.05,
+        limit=12,
+    )

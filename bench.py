@@ -29,7 +29,13 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python WORKERS inherit PYTHONPATH/cwd, not the driver's sys.path: a
+# bench launched from another cwd (e.g. BENCH/) would die inside the
+# first Arrow kernel with ModuleNotFoundError for bear_spark unless the
+# repo root rides the env into every worker
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 HEADLINE_QUERIES = [
     "q1_pricing_summary",
