@@ -89,19 +89,33 @@ def main() -> None:
         },
     )
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    workdir = f"{base}/bear_soak_{os.getpid()}"
-    shutil.rmtree(workdir, ignore_errors=True)
-    os.makedirs(workdir)
-
-    table = LakeTable.create(
-        spark,
-        os.path.join(workdir, "tbl"),
-        TRANSCRIPT_SCHEMA,
-        key_cols=KEY_COLS,
-        num_buckets=num_buckets,
-        overwrite=True,
-    )
+    # crash-resume: point SOAK_RESUME_DIR at a previous (killed) soak's
+    # workdir to continue into its table from SOAK_START_BATCH. The
+    # table is consistent at ANY kill point (atomic snapshot commits),
+    # and the embedded commit log fences a re-applied batch to
+    # {skipped}, so an off-by-one start index is harmless — this is the
+    # north rule's "resumable mid-stream from any checkpoint" exercised
+    # at full soak scale, not a bench convenience.
+    resume_dir = os.environ.get("SOAK_RESUME_DIR")
+    start_batch = int(os.environ.get("SOAK_START_BATCH", "0"))
+    if resume_dir:
+        workdir = resume_dir
+        table = LakeTable.load(spark, os.path.join(workdir, "tbl"))
+        print(f"# resuming into {workdir} at batch {start_batch}, "
+              f"table v{table.snapshot['version']}", flush=True)
+    else:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        workdir = f"{base}/bear_soak_{os.getpid()}"
+        shutil.rmtree(workdir, ignore_errors=True)
+        os.makedirs(workdir)
+        table = LakeTable.create(
+            spark,
+            os.path.join(workdir, "tbl"),
+            TRANSCRIPT_SCHEMA,
+            key_cols=KEY_COLS,
+            num_buckets=num_buckets,
+            overwrite=True,
+        )
     # untimed JIT warmup
     warm = LakeTable.create(
         spark, os.path.join(workdir, "warm"), TRANSCRIPT_SCHEMA,
@@ -115,7 +129,7 @@ def main() -> None:
     applied = 0
     merge_wall = maint_wall = 0.0
     stopped_early = False
-    for mb in range(n_batches):
+    for mb in range(start_batch, n_batches):
         if deadline_sec is not None and time.time() - t_start > deadline_sec:
             stopped_early = True
             print(f"# SOAK_DEADLINE_SEC={deadline_sec:.0f} spent after "
